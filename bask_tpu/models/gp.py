@@ -1,0 +1,184 @@
+"""Functional Gaussian-process core (GPML Algorithm 2.1) on padded data.
+
+This is the TPU-native replacement for the sklearn/skopt
+``GaussianProcessRegressor`` machinery the reference inherits
+(``bask/bayesgpr.py:18`` subclasses skopt's GPR). Instead of a mutable
+estimator, the model is a pair of immutable structs:
+
+* :class:`GPData` — padded training data (static shapes; the BO loop grows
+  ``n`` without recompiling by bumping the mask inside a padding bucket),
+* :class:`GPPosterior` — per-theta derived state (Cholesky factor, dual
+  coefficients), the analogue of sklearn's ``L_``/``alpha_``/``K_inv_``
+  attributes that the reference mutates in its ``theta`` setter
+  (``bask/bayesgpr.py:200-217``).
+
+All functions are pure and jit/vmap-friendly; gradients of the predictive
+mean/std (needed by ``expected_minimum``, reference
+``bask/optimizer.py:490-504``) come from autodiff instead of the skopt
+fork's hand-written formulas.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..ops.linalg import cho_solve_masked, masked_cholesky, masked_gram
+
+__all__ = [
+    "GPData",
+    "GPPosterior",
+    "make_data",
+    "posterior",
+    "log_marginal_likelihood",
+    "predict",
+    "predict_mean",
+    "sample_y",
+    "noise_free_theta",
+    "chol_with_fallback",
+]
+
+
+class GPData(NamedTuple):
+    """Padded, normalized training data."""
+
+    X: jnp.ndarray  # (n_pad, d) inputs (warped space if warping is on)
+    y: jnp.ndarray  # (n_pad,) normalized targets, 0 at padded entries
+    alpha_diag: jnp.ndarray  # (n_pad,) jitter + noise variance per point
+    mask: jnp.ndarray  # (n_pad,) bool
+    y_mean: jnp.ndarray  # scalar
+    y_std: jnp.ndarray  # scalar
+
+
+class GPPosterior(NamedTuple):
+    """Derived per-theta state."""
+
+    theta: jnp.ndarray  # (n_theta,)
+    L: jnp.ndarray  # (n_pad, n_pad) lower Cholesky of masked K
+    alpha_dual: jnp.ndarray  # (n_pad,)
+
+
+def make_data(X, y, alpha_diag, mask, y_mean=0.0, y_std=1.0) -> GPData:
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+    mask = jnp.asarray(mask, dtype=bool)
+    y = jnp.where(mask, y, 0.0)
+    return GPData(
+        X=X,
+        y=y,
+        alpha_diag=jnp.asarray(alpha_diag),
+        mask=mask,
+        y_mean=jnp.asarray(y_mean, dtype=X.dtype),
+        y_std=jnp.asarray(y_std, dtype=X.dtype),
+    )
+
+
+def posterior(kernel, theta, data: GPData) -> GPPosterior:
+    """Factorize the training gram for one theta."""
+    Kp = masked_gram(kernel, theta, data.X, data.alpha_diag, data.mask)
+    L = masked_cholesky(Kp)
+    alpha_dual = cho_solve_masked(L, data.y)
+    return GPPosterior(theta=theta, L=L, alpha_dual=alpha_dual)
+
+
+def log_marginal_likelihood(kernel, theta, data: GPData):
+    """Scalar LML; -inf when the gram is not positive definite."""
+    Kp = masked_gram(kernel, theta, data.X, data.alpha_diag, data.mask)
+    L = masked_cholesky(Kp)
+    alpha_dual = cho_solve_masked(L, data.y)
+    n = jnp.sum(data.mask)
+    lml = (
+        -0.5 * jnp.dot(data.y, alpha_dual)
+        - jnp.sum(jnp.where(data.mask, jnp.log(jnp.diagonal(L)), 0.0))
+        - 0.5 * n * math.log(2.0 * math.pi)
+    )
+    return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+
+
+def noise_free_theta(kernel, theta, white_index: Optional[int]):
+    """theta variant with the WhiteKernel noise set to zero.
+
+    Functional analogue of the reference's ``noise_set_to_zero`` context
+    manager (``bask/bayesgpr.py:318-336``): the Cholesky/dual state is NOT
+    recomputed — only the prior-variance diagonal used by predict/sample
+    changes.
+    """
+    if white_index is None:
+        return theta
+    return theta.at[white_index].set(-jnp.inf)
+
+
+def _cross(kernel, theta, Xq, data: GPData):
+    """k(Xq, X_train) with padded columns zeroed: (m, n_pad)."""
+    Ks = kernel.eval(theta, Xq, data.X)
+    return Ks * data.mask[None, :]
+
+
+def predict_mean(kernel, theta, post: GPPosterior, data: GPData, Xq):
+    """Predictive mean in original y units; (m,)."""
+    Ks = _cross(kernel, theta, Xq, data)
+    return data.y_mean + data.y_std * (Ks @ post.alpha_dual)
+
+
+def predict(
+    kernel,
+    theta_diag,
+    post: GPPosterior,
+    data: GPData,
+    Xq,
+    return_std=False,
+    return_cov=False,
+):
+    """Predictive mean and uncertainty.
+
+    ``theta_diag`` is the theta used for the *prior-variance* diagonal /
+    query-query gram — pass ``noise_free_theta(...)`` to predict epistemic
+    uncertainty only (the factorized state in ``post`` keeps the noisy
+    theta, matching reference semantics where ``noise_set_to_zero`` does
+    not recompute ``alpha_``/``K_inv_``).
+    """
+    Ks = _cross(kernel, theta_diag, Xq, data)
+    mean = data.y_mean + data.y_std * (Ks @ post.alpha_dual)
+    if not (return_std or return_cov):
+        return mean
+    v = solve_triangular(post.L, Ks.T, lower=True)  # (n_pad, m)
+    if return_cov:
+        Kqq = kernel.eval(theta_diag, Xq, None)
+        cov = (Kqq - v.T @ v) * data.y_std**2
+        return mean, cov
+    var = kernel.diag(theta_diag, Xq) - jnp.sum(v * v, axis=0)
+    var = jnp.maximum(var, 0.0)
+    return mean, jnp.sqrt(var) * data.y_std
+
+
+def chol_with_fallback(cov):
+    """Cholesky with a NaN-triggered jitter fallback (branchless)."""
+    n = cov.shape[0]
+    scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(cov))), 1e-12)
+    eye = jnp.eye(n, dtype=cov.dtype)
+    L0 = jnp.linalg.cholesky(cov + 1e-10 * scale * eye)
+    L1 = jnp.linalg.cholesky(cov + 1e-5 * scale * eye)
+    bad0 = jnp.any(jnp.isnan(L0))
+    return jnp.where(bad0, L1, L0)
+
+
+def sample_y(
+    kernel,
+    theta_diag,
+    post: GPPosterior,
+    data: GPData,
+    Xq,
+    key,
+    n_samples: int = 1,
+):
+    """Draw joint samples from the predictive distribution: (m, n_samples)."""
+    mean, cov = predict(
+        kernel, theta_diag, post, data, Xq, return_cov=True
+    )
+    Lc = chol_with_fallback(cov)
+    z = jax.random.normal(key, (Xq.shape[0], n_samples), dtype=cov.dtype)
+    return mean[:, None] + Lc @ z

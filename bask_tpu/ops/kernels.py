@@ -1,0 +1,433 @@
+"""Covariance-kernel algebra with sklearn-compatible log-space ``theta``.
+
+This replaces the sklearn/skopt kernel objects the reference builds on
+(see reference ``bask/bayesgpr.py:163``, ``bask/utils.py:68-151``). Kernels
+here are immutable *specs* (static pytree-free Python objects); all
+hyperparameters live in a flat log-space vector ``theta`` that is threaded
+through evaluation as a JAX array. This makes every kernel evaluation a pure
+function ``k(theta, X, Y)`` that can be ``jit``/``vmap``/``grad``-ed — the
+walker-batched MCMC evaluates the Gram matrix for hundreds of thetas in one
+fused call.
+
+theta ordering matches sklearn's convention (depth-first: Sum/Product visit
+``k1`` then ``k2``, Exponentiation visits its child; leaves contribute their
+parameters unless their bounds are "fixed"), which the reference relies on
+for prior ordering parity (reference ``bask/utils.py:68-124``).
+
+The pairwise squared distance is computed as ``|x|^2 + |y|^2 - 2 x.y^T`` so
+the O(n^2 d) work is a single MXU matmul.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+from typing import Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Kernel",
+    "ConstantKernel",
+    "WhiteKernel",
+    "RBF",
+    "Matern",
+    "Sum",
+    "Product",
+    "Exponentiation",
+    "sqdist",
+]
+
+Bounds = Union[str, Tuple[float, float]]
+
+
+def sqdist(X, Y, inv_ls):
+    """Pairwise squared Euclidean distance of scaled inputs.
+
+    ``inv_ls`` is 1/length_scale, scalar or per-dimension (anisotropic).
+    Returns shape (n, m). Uses one matmul (MXU path on TPU).
+    """
+    Xs = X * inv_ls
+    Ys = Y * inv_ls
+    d2 = (
+        jnp.sum(Xs * Xs, axis=1)[:, None]
+        + jnp.sum(Ys * Ys, axis=1)[None, :]
+        - 2.0 * Xs @ Ys.T
+    )
+    return jnp.maximum(d2, 0.0)
+
+
+class Kernel:
+    """Base class. Subclasses are immutable specs.
+
+    ``n_theta``    number of free (non-fixed) log-space parameters
+    ``theta0``     initial log-space parameter vector (np array)
+    ``bounds``     (n_theta, 2) log-space bounds (np array; inf for fixed-less)
+    ``eval(theta, X, Y)``  full cross-gram; ``Y is None`` means train gram
+                   (White contributes only there)
+    ``diag(theta, X)``     diagonal of ``eval(theta, X, X)``
+    """
+
+    # -- algebra ----------------------------------------------------------
+    def __add__(self, other):
+        return Sum(self, _as_kernel(other))
+
+    def __radd__(self, other):
+        return Sum(_as_kernel(other), self)
+
+    def __mul__(self, other):
+        return Product(self, _as_kernel(other))
+
+    def __rmul__(self, other):
+        return Product(_as_kernel(other), self)
+
+    def __pow__(self, exponent):
+        return Exponentiation(self, float(exponent))
+
+    # -- interface --------------------------------------------------------
+    @property
+    def n_theta(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def theta0(self) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def bounds(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def eval(self, theta, X, Y=None):
+        raise NotImplementedError
+
+    def diag(self, theta, X):
+        raise NotImplementedError
+
+    def with_theta(self, theta) -> "Kernel":
+        """Return a copy of this spec whose *initial* values are ``theta``.
+
+        Analogue of sklearn's ``clone_with_theta`` — used to persist a fitted
+        theta back into a spec.
+        """
+        new, rest = self._with_theta(np.asarray(theta, dtype=float))
+        assert rest.size == 0, "theta has wrong length"
+        return new
+
+    def _with_theta(self, theta):
+        raise NotImplementedError
+
+
+def _as_kernel(x):
+    if isinstance(x, Kernel):
+        return x
+    return ConstantKernel(float(x), "fixed")
+
+
+def _nb(value_bounds) -> Tuple[bool, np.ndarray]:
+    """Normalize a bounds argument -> (fixed, log_bounds array)."""
+    if isinstance(value_bounds, str):
+        if value_bounds != "fixed":
+            raise ValueError(f"Unknown bounds: {value_bounds!r}")
+        return True, np.zeros((0, 2))
+    lo, hi = value_bounds
+    return False, np.log(np.asarray([[lo, hi]], dtype=float))
+
+
+@dataclass(frozen=True)
+class ConstantKernel(Kernel):
+    """k(x, y) = constant_value (sklearn ConstantKernel)."""
+
+    constant_value: float = 1.0
+    constant_value_bounds: Bounds = (1e-5, 1e5)
+
+    @property
+    def _fixed(self):
+        return isinstance(self.constant_value_bounds, str)
+
+    @property
+    def n_theta(self):
+        return 0 if self._fixed else 1
+
+    @property
+    def theta0(self):
+        if self._fixed:
+            return np.zeros(0)
+        return np.log(np.asarray([self.constant_value], dtype=float))
+
+    @property
+    def bounds(self):
+        return _nb(self.constant_value_bounds)[1]
+
+    def _value(self, theta):
+        if self._fixed:
+            return jnp.asarray(self.constant_value, dtype=jnp.result_type(float))
+        return jnp.exp(theta[0])
+
+    def eval(self, theta, X, Y=None):
+        m = X.shape[0] if Y is None else Y.shape[0]
+        return jnp.full((X.shape[0], m), self._value(theta))
+
+    def diag(self, theta, X):
+        return jnp.full((X.shape[0],), self._value(theta))
+
+    def _with_theta(self, theta):
+        if self._fixed:
+            return self, theta
+        return (
+            replace(self, constant_value=float(np.exp(theta[0]))),
+            theta[1:],
+        )
+
+
+@dataclass(frozen=True)
+class WhiteKernel(Kernel):
+    """k(x_i, x_j) = noise_level * delta_ij on the training gram only.
+
+    Matches sklearn semantics: on a cross-gram (``Y is not None``) the white
+    kernel contributes zeros.
+    """
+
+    noise_level: float = 1.0
+    noise_level_bounds: Bounds = (1e-5, 1e5)
+
+    @property
+    def _fixed(self):
+        return isinstance(self.noise_level_bounds, str)
+
+    @property
+    def n_theta(self):
+        return 0 if self._fixed else 1
+
+    @property
+    def theta0(self):
+        if self._fixed:
+            return np.zeros(0)
+        with np.errstate(divide="ignore"):
+            return np.log(np.asarray([self.noise_level], dtype=float))
+
+    @property
+    def bounds(self):
+        return _nb(self.noise_level_bounds)[1]
+
+    def _value(self, theta):
+        if self._fixed:
+            return jnp.asarray(self.noise_level, dtype=jnp.result_type(float))
+        return jnp.exp(theta[0])
+
+    def eval(self, theta, X, Y=None):
+        if Y is not None:
+            return jnp.zeros((X.shape[0], Y.shape[0]))
+        return self._value(theta) * jnp.eye(X.shape[0])
+
+    def diag(self, theta, X):
+        return jnp.full((X.shape[0],), self._value(theta))
+
+    def _with_theta(self, theta):
+        if self._fixed:
+            return self, theta
+        return replace(self, noise_level=float(np.exp(theta[0]))), theta[1:]
+
+
+def _ls_array(length_scale):
+    return np.atleast_1d(np.asarray(length_scale, dtype=float))
+
+
+@dataclass(frozen=True)
+class RBF(Kernel):
+    """Squared-exponential kernel, isotropic or anisotropic."""
+
+    length_scale: Union[float, Tuple[float, ...]] = 1.0
+    length_scale_bounds: Bounds = (1e-5, 1e5)
+
+    @property
+    def _fixed(self):
+        return isinstance(self.length_scale_bounds, str)
+
+    @property
+    def _n_ls(self):
+        return _ls_array(self.length_scale).size
+
+    @property
+    def anisotropic(self):
+        return np.iterable(self.length_scale) and self._n_ls > 1
+
+    @property
+    def n_theta(self):
+        return 0 if self._fixed else self._n_ls
+
+    @property
+    def theta0(self):
+        if self._fixed:
+            return np.zeros(0)
+        return np.log(_ls_array(self.length_scale))
+
+    @property
+    def bounds(self):
+        if self._fixed:
+            return np.zeros((0, 2))
+        return np.repeat(_nb(self.length_scale_bounds)[1], self._n_ls, axis=0)
+
+    def _inv_ls(self, theta):
+        if self._fixed:
+            return 1.0 / jnp.asarray(_ls_array(self.length_scale))
+        return jnp.exp(-theta[: self._n_ls])
+
+    def eval(self, theta, X, Y=None):
+        Yv = X if Y is None else Y
+        d2 = sqdist(X, Yv, self._inv_ls(theta))
+        return jnp.exp(-0.5 * d2)
+
+    def diag(self, theta, X):
+        return jnp.ones((X.shape[0],))
+
+    def _with_theta(self, theta):
+        if self._fixed:
+            return self, theta
+        n = self._n_ls
+        ls = np.exp(theta[:n])
+        new_ls = float(ls[0]) if not np.iterable(self.length_scale) else tuple(ls)
+        return replace(self, length_scale=new_ls), theta[n:]
+
+
+@dataclass(frozen=True)
+class Matern(RBF):
+    """Matern kernel for nu in {0.5, 1.5, 2.5, inf}.
+
+    The reference's default kernel uses nu=2.5 (reference
+    ``bask/utils.py:144-150``). General nu (Bessel-function form) is not
+    supported on the jit path; nu=inf falls back to RBF.
+    """
+
+    nu: float = 1.5
+
+    def eval(self, theta, X, Y=None):
+        Yv = X if Y is None else Y
+        d2 = sqdist(X, Yv, self._inv_ls(theta))
+        nu = self.nu
+        if nu == np.inf:
+            return jnp.exp(-0.5 * d2)
+        r = jnp.sqrt(d2 + 1e-36)  # eps keeps grad finite at r=0
+        if nu == 0.5:
+            return jnp.exp(-r)
+        if nu == 1.5:
+            s = math.sqrt(3.0) * r
+            return (1.0 + s) * jnp.exp(-s)
+        if nu == 2.5:
+            s = math.sqrt(5.0) * r
+            return (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+        raise NotImplementedError(
+            f"Matern nu={nu} is not supported on the TPU path; "
+            "use nu in {0.5, 1.5, 2.5, inf}."
+        )
+
+
+@dataclass(frozen=True)
+class Sum(Kernel):
+    k1: Kernel = field(default=None)
+    k2: Kernel = field(default=None)
+
+    @property
+    def n_theta(self):
+        return self.k1.n_theta + self.k2.n_theta
+
+    @property
+    def theta0(self):
+        return np.concatenate([self.k1.theta0, self.k2.theta0])
+
+    @property
+    def bounds(self):
+        return np.concatenate([self.k1.bounds, self.k2.bounds], axis=0)
+
+    def _split(self, theta):
+        n1 = self.k1.n_theta
+        return theta[:n1], theta[n1 : self.n_theta]
+
+    def eval(self, theta, X, Y=None):
+        t1, t2 = self._split(theta)
+        return self.k1.eval(t1, X, Y) + self.k2.eval(t2, X, Y)
+
+    def diag(self, theta, X):
+        t1, t2 = self._split(theta)
+        return self.k1.diag(t1, X) + self.k2.diag(t2, X)
+
+    def _with_theta(self, theta):
+        k1, rest = self.k1._with_theta(theta)
+        k2, rest = self.k2._with_theta(rest)
+        return Sum(k1, k2), rest
+
+
+@dataclass(frozen=True)
+class Product(Sum):
+    def eval(self, theta, X, Y=None):
+        t1, t2 = self._split(theta)
+        return self.k1.eval(t1, X, Y) * self.k2.eval(t2, X, Y)
+
+    def diag(self, theta, X):
+        t1, t2 = self._split(theta)
+        return self.k1.diag(t1, X) * self.k2.diag(t2, X)
+
+    def _with_theta(self, theta):
+        k1, rest = self.k1._with_theta(theta)
+        k2, rest = self.k2._with_theta(rest)
+        return Product(k1, k2), rest
+
+
+@dataclass(frozen=True)
+class Exponentiation(Kernel):
+    kernel: Kernel = field(default=None)
+    exponent: float = 1.0
+
+    @property
+    def n_theta(self):
+        return self.kernel.n_theta
+
+    @property
+    def theta0(self):
+        return self.kernel.theta0
+
+    @property
+    def bounds(self):
+        return self.kernel.bounds
+
+    def eval(self, theta, X, Y=None):
+        return self.kernel.eval(theta, X, Y) ** self.exponent
+
+    def diag(self, theta, X):
+        return self.kernel.diag(theta, X) ** self.exponent
+
+    def _with_theta(self, theta):
+        k, rest = self.kernel._with_theta(theta)
+        return Exponentiation(k, self.exponent), rest
+
+
+# ---------------------------------------------------------------------------
+# Structure helpers (used by guess_priors and the white-noise machinery)
+# ---------------------------------------------------------------------------
+
+
+def iter_leaves(kernel):
+    """Depth-first leaf iterator in sklearn theta order."""
+    if isinstance(kernel, Exponentiation):
+        yield from iter_leaves(kernel.kernel)
+    elif isinstance(kernel, (Sum, Product)):
+        yield from iter_leaves(kernel.k1)
+        yield from iter_leaves(kernel.k2)
+    else:
+        yield kernel
+
+
+def white_theta_index(kernel):
+    """Index into theta of the WhiteKernel noise parameter of a top-level Sum.
+
+    Mirrors ``_param_for_white_kernel_in_Sum`` (used by the reference's
+    ``noise_set_to_zero``, ``bask/bayesgpr.py:318-336``): looks for a
+    WhiteKernel summand at the top level of ``kernel``. Returns None if
+    absent or fixed.
+    """
+    idx = 0
+    for leaf in iter_leaves(kernel):
+        if isinstance(leaf, WhiteKernel) and leaf.n_theta == 1:
+            return idx
+        idx += leaf.n_theta
+    return None

@@ -1,0 +1,132 @@
+"""Masked/batched GP linear algebra (GPML Algorithm 2.1, TPU-first).
+
+The reference computes one Cholesky + two triangular solves per
+log-marginal-likelihood call, serially per MCMC walker (reference
+``bask/bayesgpr.py:374``, sklearn GPR internals). Here every primitive is
+written over a *padded* training set with a boolean mask so that
+
+* shapes stay static while the BO loop grows the data (no recompiles —
+  the data is padded to a bucket size), and
+* a whole walker ensemble evaluates its LMLs in one batched call
+  (``vmap`` over theta), which XLA maps onto batched Cholesky kernels.
+
+Masking scheme: rows/columns of padded points are replaced by identity
+rows, and the padded entries of ``y`` are zero. The Cholesky factor is then
+block-diagonal with an identity block, contributing 0 to both the
+log-determinant and the quadratic form, so the masked LML equals the LML of
+the unpadded problem exactly.
+
+A failed factorization (non-PD K) produces NaNs in the factor; those are
+detected branchlessly and turned into ``-inf`` LML, matching the
+reference's try/except ValueError -> -inf semantics
+(``bask/bayesgpr.py:373-379``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+__all__ = [
+    "masked_gram",
+    "masked_cholesky",
+    "masked_lml",
+    "cho_solve_masked",
+    "augmented_quadform",
+]
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+def masked_gram(kernel, theta, X, alpha_diag, mask):
+    """Build K + diag(alpha) with identity rows for padded entries.
+
+    Parameters
+    ----------
+    kernel : Kernel spec
+    theta : (n_theta,) log-space hyperparameters
+    X : (n_pad, d) padded training inputs
+    alpha_diag : (n_pad,) per-point jitter/noise variance
+    mask : (n_pad,) bool, True for real points
+    """
+    K = kernel.eval(theta, X)
+    m2 = jnp.outer(mask, mask)
+    Kp = jnp.where(m2, K, 0.0)
+    diag = jnp.where(mask, jnp.diagonal(K) + alpha_diag, 1.0)
+    return Kp - jnp.diag(jnp.diagonal(Kp)) + jnp.diag(diag)
+
+
+def masked_cholesky(Kp):
+    """Lower Cholesky of the masked gram. NaNs signal non-PD."""
+    return jnp.linalg.cholesky(Kp)
+
+
+def cho_solve_masked(L, B):
+    """Solve K x = B given the (masked) lower factor L."""
+    w = solve_triangular(L, B, lower=True)
+    return solve_triangular(L.T, w, lower=False)
+
+
+def masked_lml(kernel, theta, X, y, alpha_diag, mask):
+    """Log marginal likelihood of the masked problem; -inf on failure.
+
+    ``y`` must be zero at padded entries. Returns a scalar.
+    """
+    Kp = masked_gram(kernel, theta, X, alpha_diag, mask)
+    L = masked_cholesky(Kp)
+    alpha_dual = cho_solve_masked(L, y)
+    n = jnp.sum(mask)
+    lml = (
+        -0.5 * jnp.dot(y, alpha_dual)
+        - jnp.sum(jnp.where(mask, jnp.log(jnp.diagonal(L)), 0.0))
+        - 0.5 * n * _LOG2PI
+    )
+    return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+
+
+def batched_lml(kernel, thetas, X, y, alpha_diag, mask):
+    """LML for a batch of thetas: (W, n_theta) -> (W,). One batched Cholesky."""
+    return jax.vmap(lambda t: masked_lml(kernel, t, X, y, alpha_diag, mask))(
+        thetas
+    )
+
+
+def augmented_quadform(L, l_cand, d_cand, A_sol, b):
+    """Batched quadratic forms against rank-1-augmented Cholesky factors.
+
+    For each candidate ``c`` the (n+1)x(n+1) augmented kernel matrix
+
+        K_aug(c) = [[K, k_c], [k_c^T, k_cc]]
+
+    has lower factor [[L, 0], [l_c^T, d_c]] with ``l_c = L^{-1} k_c`` and
+    ``d_c = sqrt(k_cc - |l_c|^2)``. The predictive-variance-reduction
+    acquisitions (reference ``bask/acquisition.py:277-339``) need, for m
+    probe points with cross-kernel rows ``[A_p, b_cp]``,
+
+        q_cp = [A_p, b_cp] K_aug(c)^{-1} [A_p, b_cp]^T
+             = |L^{-1} A_p^T|^2 + ((b_cp - l_c . (L^{-1}A^T)_p) / d_c)^2.
+
+    The reference loops a fresh O(n^3) Cholesky per candidate; this closed
+    form needs only the shared factor ``L`` and matmuls, so all candidates
+    evaluate in one fused pass.
+
+    Parameters
+    ----------
+    L : (n, n) lower factor of the base K
+    l_cand : (n, C) = L^{-1} k(X_train, X_cand)
+    d_cand : (C,) augmented pivots
+    A_sol : (n, m) = L^{-1} k(X_train, P)^T for the m probe points
+    b : (m, C) cross kernel k(P, X_cand)
+
+    Returns
+    -------
+    (C,) summed quadratic forms  sum_p q_cp  per candidate.
+    """
+    base = jnp.sum(A_sol * A_sol)  # sum_p |L^{-1} A_p^T|^2
+    # (m, C): b_cp - (A_sol^T l_cand)_pc
+    resid = b - A_sol.T @ l_cand
+    extra = jnp.sum((resid / d_cand[None, :]) ** 2, axis=0)
+    return base + extra
