@@ -1,0 +1,768 @@
+"""Fully-Bayesian GP regressor with on-device hyperparameter MCMC.
+
+API-compatible rebuild of the reference's ``BayesGPR``
+(``bask/bayesgpr.py:18``): kernel hyperparameters are inferred by an
+affine-invariant ensemble sampler and summarized at the geometric median;
+prediction/sampling marginalize over the hyperposterior.
+
+TPU-first design differences from the reference:
+
+* the reference advances 100 emcee walkers serially in Python, one
+  O(n^3) Cholesky per walker per step; here the whole chain runs inside
+  one jitted ``lax.scan`` with a *batched* Cholesky per half-ensemble
+  (``bask_tpu.parallel.mcmc``), and the walker axis shards over a device
+  mesh,
+* training data lives on device in padded buckets (static shapes across
+  a growing BO loop — no per-iteration recompiles),
+* input warping (Beta CDF) is fused into the jitted log-probability
+  instead of rebuilding scipy distributions per walker step
+  (reference ``bask/bayesgpr.py:351-365``),
+* ``noise_set_to_zero`` becomes an immutable theta variant rather than
+  kernel mutation (reference ``bask/bayesgpr.py:318-336``), and
+* the ML-II warm start uses JAX autodiff gradients of the LML.
+"""
+
+from __future__ import annotations
+
+import math
+from contextlib import contextmanager
+from functools import partial
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import kernels as bk
+from ..ops.linalg import masked_cholesky, masked_gram, cho_solve_masked
+from ..parallel.mcmc import flatten_chain, run_ensemble
+from ..utils.median import geometric_median
+from ..utils.priors import guess_priors
+from . import gp as gpc
+from . import warping as wp
+
+__all__ = ["BayesGPR"]
+
+
+def _bucket(n: int) -> int:
+    """Padding bucket: small powers of two, then multiples of 64."""
+    if n <= 16:
+        return 16
+    if n <= 32:
+        return 32
+    if n <= 64:
+        return 64
+    return ((n + 63) // 64) * 64
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points (module-level so the cache survives across facade
+# calls; all static args are hashable and reused between calls)
+# ---------------------------------------------------------------------------
+
+
+def _eval_priors(priors, theta_gp):
+    if callable(priors):
+        return priors(theta_gp)
+    lp = 0.0
+    for i, p in enumerate(priors):
+        lp = lp + p(theta_gp[i])
+    return lp
+
+
+def _make_log_prob(kernel, priors, warp_prior, n_warp, data):
+    def log_prob(x):
+        if n_warp:
+            theta_gp, la, lb = wp.split_warp_params(x, n_warp)
+            d = data._replace(X=wp.warp(data.X, la, lb))
+            lp = warp_prior(la, lb)
+        else:
+            theta_gp, d, lp = x, data, 0.0
+        lp = lp + _eval_priors(priors, theta_gp)
+        lml = gpc.log_marginal_likelihood(kernel, theta_gp, d)
+        total = lp + lml
+        return jnp.where(jnp.isfinite(total), total, -jnp.inf)
+
+    return log_prob
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "priors", "warp_prior", "n_warp", "n_steps"),
+)
+def _run_chain(kernel, priors, warp_prior, n_warp, data, pos0, key, n_steps):
+    log_prob = _make_log_prob(kernel, priors, warp_prior, n_warp, data)
+    return run_ensemble(log_prob, pos0, key, n_steps)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _lml_value_grad(kernel, theta, data):
+    def f(t):
+        return -gpc.log_marginal_likelihood(kernel, t, data)
+
+    return jax.value_and_grad(f)(theta)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _posterior_robust(kernel, theta, data):
+    """Posterior factorization with a branchless jitter ladder."""
+    Kp = masked_gram(kernel, theta, data.X, data.alpha_diag, data.mask)
+    scale = jnp.mean(jnp.abs(jnp.diagonal(Kp)))
+    eye = jnp.eye(Kp.shape[0], dtype=Kp.dtype)
+    L0 = masked_cholesky(Kp)
+    L1 = masked_cholesky(Kp + 1e-8 * scale * eye)
+    L2 = masked_cholesky(Kp + 1e-4 * scale * eye)
+    L = jnp.where(
+        jnp.any(jnp.isnan(L0)), jnp.where(jnp.any(jnp.isnan(L1)), L2, L1), L0
+    )
+    alpha_dual = cho_solve_masked(L, data.y)
+    return gpc.GPPosterior(theta=theta, L=L, alpha_dual=alpha_dual)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kernel",
+        "n_warp",
+        "include_noise",
+        "white_idx",
+        "n_total",
+    ),
+)
+def _sample_y_marginal(
+    kernel, chain_rows, data, Xq, key, n_warp, include_noise, white_idx, n_total
+):
+    """One predictive draw per hyperposterior row: (S, m)."""
+    keys = jax.random.split(key, chain_rows.shape[0])
+
+    def one(x, k):
+        if n_warp:
+            theta_gp, la, lb = wp.split_warp_params(x, n_warp)
+            d = data._replace(X=wp.warp(data.X, la, lb))
+            Xq_w = wp.warp(Xq, la, lb)
+        else:
+            theta_gp, d, Xq_w = x, data, Xq
+        post = _posterior_robust(kernel, theta_gp, d)
+        theta_diag = (
+            theta_gp
+            if include_noise
+            else gpc.noise_free_theta(kernel, theta_gp, white_idx)
+        )
+        return gpc.sample_y(kernel, theta_diag, post, d, Xq_w, k, 1)[:, 0]
+
+    return jax.vmap(one)(chain_rows, keys)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "return_std", "return_cov", "n_warp"),
+)
+def _predict(
+    kernel,
+    theta,
+    theta_diag,
+    post,
+    data,
+    Xq,
+    warp_a,
+    warp_b,
+    n_warp,
+    return_std,
+    return_cov,
+):
+    if n_warp:
+        Xq = wp.warp(Xq, warp_a, warp_b)
+    return gpc.predict(
+        kernel,
+        theta_diag,
+        post,
+        data,
+        Xq,
+        return_std=return_std,
+        return_cov=return_cov,
+    )
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_warp"))
+def _predict_grads(
+    kernel, theta_diag, post, data, Xq, warp_a, warp_b, n_warp
+):
+    """Gradients of predictive mean and std wrt each query point."""
+
+    def mean_one(x):
+        xq = x[None, :]
+        if n_warp:
+            xq = wp.warp(xq, warp_a, warp_b)
+        return gpc.predict(kernel, theta_diag, post, data, xq)[0]
+
+    def std_one(x):
+        xq = x[None, :]
+        if n_warp:
+            xq = wp.warp(xq, warp_a, warp_b)
+        _, s = gpc.predict(kernel, theta_diag, post, data, xq, return_std=True)
+        return s[0]
+
+    return jax.vmap(jax.grad(mean_one))(Xq), jax.vmap(jax.grad(std_one))(Xq)
+
+
+class BayesGPR:
+    """Fully-Bayesian Gaussian process regressor (see module docstring).
+
+    Parameters mirror the reference (``bask/bayesgpr.py:148-180``):
+    ``kernel`` (spec from :mod:`bask_tpu.ops.kernels`), ``alpha`` base
+    jitter, ``normalize_y``, ``warp_inputs``, ``random_state``, and
+    ``noise="gaussian"`` which appends a WhiteKernel to the user kernel.
+
+    Priors must be jit-traceable callables of a scalar log-parameter
+    (see :mod:`bask_tpu.utils.priors`).
+    """
+
+    def __init__(
+        self,
+        kernel: Optional[bk.Kernel] = None,
+        alpha: float = 1e-10,
+        optimizer: str = "lbfgs",
+        n_restarts_optimizer: int = 0,
+        normalize_y: bool = False,
+        warp_inputs: bool = False,
+        copy_X_train: bool = True,
+        random_state=None,
+        noise: Optional[str] = "gaussian",
+    ):
+        if kernel is None:
+            kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
+                1.0, (1e-5, 1e5)
+            )
+        self._user_kernel = kernel
+        self.alpha = alpha
+        self.optimizer = optimizer
+        self.n_restarts_optimizer = n_restarts_optimizer
+        self.normalize_y = normalize_y
+        self.warp_inputs = warp_inputs
+        self.copy_X_train = copy_X_train
+        self.noise = noise
+        if isinstance(random_state, np.random.RandomState):
+            self.random_state = random_state
+        else:
+            self.random_state = np.random.RandomState(random_state)
+
+        self.kernel_: Optional[bk.Kernel] = None  # spec incl. White
+        self.chain_: Optional[np.ndarray] = None
+        self.pos_: Optional[np.ndarray] = None
+        self.noise_: Optional[float] = None
+        self.log_marginal_likelihood_value_: Optional[float] = None
+        self.warp_alphas_: Optional[np.ndarray] = None
+        self.warp_betas_: Optional[np.ndarray] = None
+
+        self._theta: Optional[np.ndarray] = None
+        self._data: Optional[gpc.GPData] = None
+        self._post: Optional[gpc.GPPosterior] = None
+        self._X_orig: Optional[np.ndarray] = None  # unpadded original X
+        self._y_orig: Optional[np.ndarray] = None
+        self._noise_vector: Optional[np.ndarray] = None
+        self._noise_zero = False
+        self._priors_cache = None
+
+    # -- basic properties --------------------------------------------------
+
+    @property
+    def X_train_(self):
+        """Training inputs (warped if ``warp_inputs``), unpadded."""
+        if self._X_orig is None:
+            return None
+        if self.warp_inputs and self.warp_alphas_ is not None:
+            return np.asarray(
+                wp.warp(
+                    jnp.asarray(self._X_orig),
+                    jnp.asarray(self.warp_alphas_),
+                    jnp.asarray(self.warp_betas_),
+                )
+            )
+        return self._X_orig
+
+    @property
+    def y_train_(self):
+        if self._y_orig is None:
+            return None
+        return (self._y_orig - self.y_train_mean_) / self.y_train_std_
+
+    @property
+    def theta(self):
+        if self._theta is None:
+            return None
+        return np.copy(self._theta)
+
+    @theta.setter
+    def theta(self, value):
+        self._theta = np.asarray(value, dtype=float)
+        self._refresh_posterior()
+
+    @property
+    def L_(self):
+        if self._post is None:
+            return None
+        n = len(self._y_orig)
+        return np.asarray(self._post.L)[:n, :n]
+
+    @property
+    def alpha_(self):
+        if self._post is None:
+            return None
+        return np.asarray(self._post.alpha_dual)[: len(self._y_orig)]
+
+    @property
+    def white_index_(self):
+        if self.kernel_ is None:
+            return None
+        return bk.white_theta_index(self.kernel_)
+
+    # -- data management ---------------------------------------------------
+
+    def _dtype(self):
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def _set_data(self, X, y, noise_vector):
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        y = np.asarray(y, dtype=float).ravel()
+        if self.normalize_y:
+            self.y_train_mean_ = float(np.mean(y))
+            self.y_train_std_ = float(np.std(y)) or 1.0
+        else:
+            self.y_train_mean_ = 0.0
+            self.y_train_std_ = 1.0
+        self._X_orig = np.copy(X) if self.copy_X_train else X
+        self._y_orig = np.copy(y) if self.copy_X_train else y
+        if noise_vector is not None:
+            noise_vector = (
+                np.asarray(noise_vector, dtype=float)
+                / self.y_train_std_**2
+            )
+        self._noise_vector = noise_vector
+        self._upload()
+
+    def _upload(self):
+        """(Re)build the padded device-side GPData."""
+        n, d = self._X_orig.shape
+        n_pad = _bucket(n)
+        dt = self._dtype()
+        Xp = np.full((n_pad, d), 0.5)
+        Xp[:n] = self._X_orig
+        yp = np.zeros(n_pad)
+        yp[:n] = (self._y_orig - self.y_train_mean_) / self.y_train_std_
+        alpha = np.full(n_pad, self.alpha, dtype=float)
+        if self._noise_vector is not None:
+            nv = np.zeros(n)
+            nv[: len(self._noise_vector)] += self._noise_vector
+            alpha[:n] += nv
+        mask = np.arange(n_pad) < n
+        self._data = gpc.make_data(
+            jnp.asarray(Xp, dtype=dt),
+            jnp.asarray(yp, dtype=dt),
+            jnp.asarray(alpha, dtype=dt),
+            jnp.asarray(mask),
+            y_mean=self.y_train_mean_,
+            y_std=self.y_train_std_,
+        )
+
+    def _refresh_posterior(self):
+        if self._theta is None or self._data is None:
+            return
+        data = self._data
+        if self.warp_inputs and self.warp_alphas_ is not None:
+            data = data._replace(
+                X=wp.warp(
+                    data.X,
+                    jnp.asarray(self.warp_alphas_, dtype=data.X.dtype),
+                    jnp.asarray(self.warp_betas_, dtype=data.X.dtype),
+                )
+            )
+        self._post = _posterior_robust(
+            self.kernel_, jnp.asarray(self._theta, dtype=data.X.dtype), data
+        )
+        self._post_data = data
+
+    # -- ML-II warm start --------------------------------------------------
+
+    def _ml2_optimize(self):
+        """L-BFGS-B maximization of the LML (JAX gradients, host driver).
+
+        Result is only the MCMC initial position, mirroring the
+        reference's use of the inherited skopt fit
+        (``bask/bayesgpr.py:78-79``).
+        """
+        from scipy.optimize import minimize
+
+        kernel = self.kernel_
+        data = self._data
+        bounds = kernel.bounds
+        dt = self._dtype()
+
+        def obj(t):
+            v, g = _lml_value_grad(kernel, jnp.asarray(t, dtype=dt), data)
+            v = float(v)
+            g = np.asarray(g, dtype=float)
+            if not np.isfinite(v):
+                return 1e25, np.zeros_like(g)
+            return v, g
+
+        starts = [kernel.theta0]
+        for _ in range(self.n_restarts_optimizer):
+            starts.append(
+                self.random_state.uniform(bounds[:, 0], bounds[:, 1])
+            )
+        best_t, best_v = None, np.inf
+        for t0 in starts:
+            res = minimize(
+                obj, t0, jac=True, method="L-BFGS-B", bounds=bounds
+            )
+            if res.fun < best_v:
+                best_t, best_v = res.x, res.fun
+        return np.asarray(best_t, dtype=float)
+
+    # -- sampling ----------------------------------------------------------
+
+    def _resolve_priors(self, priors):
+        if priors is None:
+            if self._priors_cache is None:
+                self._priors_cache = tuple(guess_priors(self.kernel_))
+            return self._priors_cache
+        if callable(priors):
+            return priors
+        return tuple(priors)
+
+    def sample(
+        self,
+        X=None,
+        y=None,
+        noise_vector=None,
+        n_threads: int = 1,
+        n_desired_samples: int = 100,
+        n_burnin: int = 0,
+        n_thin: int = 1,
+        n_walkers_per_thread: int = 100,
+        progress: bool = False,
+        priors=None,
+        warp_priors=None,
+        position=None,
+        add: bool = False,
+        **kwargs,
+    ):
+        """Sample the kernel-hyperparameter posterior on device.
+
+        Semantics follow the reference (``bask/bayesgpr.py:381-548``):
+        warm start from ``pos_`` when available, collect
+        ``ceil(n_desired_samples / n_walkers)`` post-burnin steps, set
+        the consensus model at the geometric median of the chain.
+        """
+        if (X is None and self._X_orig is None) or self.kernel_ is None:
+            raise ValueError(
+                "No data to sample from: pass X and y or call fit first."
+            )
+        if X is not None:
+            self._set_data(X, y, noise_vector)
+        elif noise_vector is not None:
+            self._noise_vector = (
+                np.asarray(noise_vector, dtype=float) / self.y_train_std_**2
+            )
+            self._upload()
+
+        priors = self._resolve_priors(priors)
+        if warp_priors is None:
+            warp_priors = wp.default_warp_log_prior
+
+        n_gp_dim = self.kernel_.n_theta
+        n_warp = self._X_orig.shape[1] if self.warp_inputs else 0
+        n_dim = n_gp_dim + 2 * n_warp
+        n_walkers = max(2, n_threads * n_walkers_per_thread)
+        if n_walkers % 2:
+            n_walkers += 1
+        n_steps = int(math.ceil(n_desired_samples / n_walkers)) + n_burnin
+
+        if position is not None:
+            pos = np.asarray(position, dtype=float)
+        elif self.pos_ is not None and self.pos_.shape == (n_walkers, n_dim):
+            pos = self.pos_
+        else:
+            theta = np.copy(self._theta)
+            bad = ~np.isfinite(theta)
+            if bad.any():
+                fill = math.log(self.noise_) if self.noise_ else -10.0
+                theta[bad] = fill
+            if n_warp:
+                theta = np.concatenate([theta, np.zeros(2 * n_warp)])
+            pos = theta[None, :] + 1e-2 * self.random_state.randn(
+                n_walkers, n_dim
+            )
+
+        dt = self._dtype()
+        key = jax.random.PRNGKey(self.random_state.randint(0, 2**31 - 1))
+        chain_dev, final = _run_chain(
+            self.kernel_,
+            priors,
+            warp_priors,
+            n_warp,
+            self._data,
+            jnp.asarray(pos, dtype=dt),
+            key,
+            n_steps,
+        )
+        flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
+        if add and self.chain_ is not None:
+            self.chain_ = np.concatenate([self.chain_, np.asarray(flat)])
+            flat = jnp.asarray(self.chain_, dtype=dt)
+        else:
+            self.chain_ = np.asarray(flat)
+        self.pos_ = np.asarray(final.pos)
+        self.n_accepted_ = int(final.accepted)
+        self.n_proposals_ = n_steps * n_walkers
+
+        median = np.asarray(geometric_median(flat))
+        if self.warp_inputs:
+            self.warp_alphas_ = median[n_gp_dim : n_gp_dim + n_warp]
+            self.warp_betas_ = median[n_gp_dim + n_warp :]
+        theta_med = median[:n_gp_dim]
+        widx = self.white_index_
+        if widx is not None:
+            self.noise_ = float(np.exp(theta_med[widx]))
+        self.theta = theta_med  # triggers posterior refresh
+        self.log_marginal_likelihood_value_ = float(
+            gpc.log_marginal_likelihood(
+                self.kernel_,
+                jnp.asarray(theta_med, dtype=dt),
+                self._post_data,
+            )
+        )
+        return self
+
+    def fit(
+        self,
+        X,
+        y,
+        noise_vector=None,
+        n_threads: int = 1,
+        n_desired_samples: int = 100,
+        n_burnin: int = 10,
+        n_walkers_per_thread: int = 100,
+        progress: bool = True,
+        priors=None,
+        warp_priors=None,
+        position=None,
+        **kwargs,
+    ):
+        """ML-II warm start + hyperposterior sampling (reference
+        ``bask/bayesgpr.py:550-620``)."""
+        # Rebuild kernel_ from the pristine user kernel each fit
+        if self.noise == "gaussian" and bk.white_theta_index(
+            self._user_kernel
+        ) is None:
+            self.kernel_ = self._user_kernel + bk.WhiteKernel(
+                1.0, (1e-5, 1e5)
+            )
+        else:
+            self.kernel_ = self._user_kernel
+        self._priors_cache = None
+        self._set_data(X, y, noise_vector)
+
+        if self.optimizer is not None:
+            theta_ml = self._ml2_optimize()
+        else:
+            theta_ml = self.kernel_.theta0
+        self._theta = theta_ml
+        widx = self.white_index_
+        if widx is not None:
+            self.noise_ = float(np.exp(theta_ml[widx]))
+
+        return self.sample(
+            n_desired_samples=n_desired_samples,
+            n_burnin=n_burnin,
+            n_walkers_per_thread=n_walkers_per_thread,
+            n_threads=n_threads,
+            progress=progress,
+            priors=priors,
+            warp_priors=warp_priors,
+            position=position,
+            add=False,
+            **kwargs,
+        )
+
+    # -- prediction --------------------------------------------------------
+
+    @contextmanager
+    def noise_set_to_zero(self):
+        """Context manager: predictions exclude the Gaussian noise term.
+
+        Functional analogue of the reference context manager
+        (``bask/bayesgpr.py:318-336``); the factorized posterior state is
+        left untouched.
+        """
+        prev = self._noise_zero
+        self._noise_zero = True
+        try:
+            yield self
+        finally:
+            self._noise_zero = prev
+
+    def _theta_diag(self):
+        t = jnp.asarray(self._theta, dtype=self._dtype())
+        if self._noise_zero:
+            return gpc.noise_free_theta(self.kernel_, t, self.white_index_)
+        return t
+
+    def _warp_params(self):
+        dt = self._dtype()
+        if self.warp_inputs and self.warp_alphas_ is not None:
+            return (
+                jnp.asarray(self.warp_alphas_, dtype=dt),
+                jnp.asarray(self.warp_betas_, dtype=dt),
+                self._X_orig.shape[1],
+            )
+        d = self._X_orig.shape[1] if self._X_orig is not None else 1
+        return jnp.zeros(d, dtype=dt), jnp.zeros(d, dtype=dt), 0
+
+    def predict(
+        self,
+        X,
+        return_std: bool = False,
+        return_cov: bool = False,
+        return_mean_grad: bool = False,
+        return_std_grad: bool = False,
+    ):
+        X = jnp.asarray(np.atleast_2d(X), dtype=self._dtype())
+        if self.warp_inputs:
+            from ..utils.validation import validate_zeroone
+
+            validate_zeroone(np.asarray(X))
+        wa, wb, n_warp = self._warp_params()
+        out = _predict(
+            self.kernel_,
+            jnp.asarray(self._theta, dtype=self._dtype()),
+            self._theta_diag(),
+            self._post,
+            self._post_data,
+            X,
+            wa,
+            wb,
+            n_warp,
+            return_std,
+            return_cov,
+        )
+        if return_std or return_cov:
+            mean, unc = np.asarray(out[0]), np.asarray(out[1])
+        else:
+            mean, unc = np.asarray(out), None
+        results = [mean]
+        if return_std or return_cov:
+            results.append(unc)
+        if return_mean_grad or return_std_grad:
+            mg, sg = _predict_grads(
+                self.kernel_,
+                self._theta_diag(),
+                self._post,
+                self._post_data,
+                X,
+                wa,
+                wb,
+                n_warp,
+            )
+            if return_mean_grad:
+                results.append(np.asarray(mg))
+            if return_std_grad:
+                results.append(np.asarray(sg))
+        if len(results) == 1:
+            return results[0]
+        return tuple(results)
+
+    def sample_y(
+        self,
+        X,
+        sample_mean: bool = False,
+        noise: bool = False,
+        n_samples: int = 1,
+        random_state=0,
+    ):
+        """Draw function realizations: (n_points, n_samples).
+
+        ``sample_mean=True`` samples from the consensus GP;
+        otherwise each draw uses a random hyperposterior chain row
+        (reference ``bask/bayesgpr.py:637-718``) — here vmapped into one
+        fused pass instead of a Python loop.
+        """
+        if isinstance(random_state, np.random.RandomState):
+            seed = random_state.randint(0, 2**31 - 1)
+        elif random_state is None:
+            seed = self.random_state.randint(0, 2**31 - 1)
+        else:
+            seed = int(random_state)
+        key = jax.random.PRNGKey(seed)
+        dt = self._dtype()
+        X = jnp.asarray(np.atleast_2d(X), dtype=dt)
+        widx = self.white_index_
+        if sample_mean:
+            wa, wb, n_warp = self._warp_params()
+            Xq = wp.warp(X, wa, wb) if n_warp else X
+            theta = jnp.asarray(self._theta, dtype=dt)
+            theta_diag = theta if noise else gpc.noise_free_theta(
+                self.kernel_, theta, widx
+            )
+            out = gpc.sample_y(
+                self.kernel_,
+                theta_diag,
+                self._post,
+                self._post_data,
+                Xq,
+                key,
+                n_samples,
+            )
+            return np.asarray(out)
+        rs = np.random.RandomState(seed)
+        idx = rs.choice(len(self.chain_), size=n_samples, replace=True)
+        rows = jnp.asarray(self.chain_[idx], dtype=dt)
+        n_warp = self._X_orig.shape[1] if self.warp_inputs else 0
+        out = _sample_y_marginal(
+            self.kernel_,
+            rows,
+            self._data,
+            X,
+            key,
+            n_warp,
+            bool(noise),
+            widx,
+            n_samples,
+        )
+        return np.asarray(out).T
+
+    # -- misc --------------------------------------------------------------
+
+    def log_marginal_likelihood(self, theta=None, clone_kernel=True):
+        if theta is None:
+            return self.log_marginal_likelihood_value_
+        data = getattr(self, "_post_data", None)
+        if data is None:
+            data = self._data
+        return float(
+            gpc.log_marginal_likelihood(
+                self.kernel_, jnp.asarray(theta, dtype=self._dtype()), data
+            )
+        )
+
+    def warp(self, X):
+        if self.warp_inputs and self.warp_alphas_ is not None:
+            return np.asarray(
+                wp.warp(
+                    jnp.asarray(X, dtype=self._dtype()),
+                    jnp.asarray(self.warp_alphas_, dtype=self._dtype()),
+                    jnp.asarray(self.warp_betas_, dtype=self._dtype()),
+                )
+            )
+        return X
+
+    def unwarp(self, X):
+        if self.warp_inputs and self.warp_alphas_ is not None:
+            return np.asarray(
+                wp.unwarp(
+                    jnp.asarray(X, dtype=self._dtype()),
+                    jnp.asarray(self.warp_alphas_, dtype=self._dtype()),
+                    jnp.asarray(self.warp_betas_, dtype=self._dtype()),
+                )
+            )
+        return X

@@ -1,0 +1,141 @@
+"""BayesGPR facade behavior, mirroring reference tests/test_bayesgpr.py:
+high-noise downweighting, noise_set_to_zero semantics, sample-without-fit,
+plus chain/consensus sanity on a 1-D regression task."""
+
+import numpy as np
+import pytest
+
+from bask_tpu.models.bayesgpr import BayesGPR
+from bask_tpu.ops import kernels as bk
+from bask_tpu.utils import stats as bs
+
+
+@pytest.fixture(params=[False, True])
+def minimal_gp(request):
+    kernel = bk.ConstantKernel(1.0, (0.01**2, 1.0)) * bk.RBF(
+        1.0, (0.5, 1.5)
+    )
+    return BayesGPR(
+        random_state=1,
+        normalize_y=False,
+        kernel=kernel,
+        warp_inputs=request.param,
+    )
+
+
+@pytest.fixture
+def minimal_priors():
+    import jax.numpy as jnp
+
+    return [
+        lambda x: bs.halfnorm_logpdf(jnp.sqrt(jnp.exp(x)), scale=1.0)
+        + x / 2.0
+        - np.log(2.0),
+        lambda x: bs.invgamma_logpdf(jnp.exp(x), a=5.0, scale=1.0) + x,
+        lambda x: bs.halfnorm_logpdf(jnp.sqrt(jnp.exp(x)), scale=1.0)
+        + x / 2.0
+        - np.log(2.0),
+    ]
+
+
+def test_noise_vector(minimal_gp, minimal_priors):
+    X = np.array([[0.0], [0.0]])
+    y = np.array([1.0, 0.0])
+    noise_vector = np.array([1234.0, 0.0])
+    minimal_gp.fit(
+        X,
+        y,
+        noise_vector=noise_vector,
+        n_burnin=1,
+        progress=False,
+        priors=minimal_priors,
+    )
+    prediction = minimal_gp.predict(np.array([[0.0]]))
+    # The high-noise observation must barely influence the mean
+    assert prediction < 0.01
+
+
+def test_noise_set_to_zero(minimal_gp, minimal_priors):
+    X = np.array([[0.1], [0.0], [-0.1]])
+    y = np.array([0.0, 0.0, 0.0])
+    minimal_gp.fit(X, y, n_burnin=1, progress=False, priors=minimal_priors)
+    minimal_gp.theta = np.array([0.0, 0.0, 0.0])
+    _, std = minimal_gp.predict(np.array([[0.0]]), return_std=True)
+    assert std >= 1.0
+    with minimal_gp.noise_set_to_zero():
+        _, std_nf = minimal_gp.predict(np.array([[0.0]]), return_std=True)
+        assert std_nf < 1.0
+    _, std_after = minimal_gp.predict(np.array([[0.0]]), return_std=True)
+    assert std_after >= 1.0
+
+
+def test_sample_without_fit(minimal_gp):
+    with pytest.raises(ValueError):
+        minimal_gp.sample()
+
+
+def test_fit_recovers_function():
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(25, 1))
+    y = np.sin(2 * np.pi * X[:, 0]) + 0.1 * rng.randn(25)
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
+        0.3, (0.05, 0.8), nu=2.5
+    )
+    gp = BayesGPR(kernel=kernel, random_state=0)
+    gp.fit(X, y, n_burnin=3, n_desired_samples=100, progress=False)
+
+    assert gp.chain_ is not None and gp.chain_.shape[1] == 3
+    assert gp.pos_ is not None and gp.pos_.shape == (100, 3)
+    assert np.isfinite(gp.log_marginal_likelihood_value_)
+    assert gp.noise_ is not None and gp.noise_ > 0
+
+    Xq = np.linspace(0, 1, 50)[:, None]
+    mean = gp.predict(Xq)
+    rms = np.sqrt(np.mean((mean - np.sin(2 * np.pi * Xq[:, 0])) ** 2))
+    assert rms < 0.25
+
+    # acceptance rate in a healthy band
+    rate = gp.n_accepted_ / gp.n_proposals_
+    assert 0.1 < rate < 0.95
+
+
+def test_sample_y_shapes_and_consistency():
+    rng = np.random.RandomState(1)
+    X = rng.uniform(size=(15, 1))
+    y = np.sin(4 * X[:, 0])
+    gp = BayesGPR(random_state=2)
+    gp.fit(X, y, n_burnin=2, progress=False)
+    Xq = np.linspace(0, 1, 11)[:, None]
+
+    s_mean = gp.sample_y(Xq, sample_mean=True, n_samples=5, random_state=3)
+    assert s_mean.shape == (11, 5)
+    s_hyper = gp.sample_y(Xq, n_samples=7, random_state=4)
+    assert s_hyper.shape == (11, 7)
+    assert np.isfinite(s_hyper).all()
+
+    # warm-start continuation: second sample() reuses pos_ and keeps shapes
+    gp.sample(n_desired_samples=100, add=True)
+    assert gp.chain_.shape[0] == 200
+
+
+def test_predict_gradients_match_fd():
+    rng = np.random.RandomState(5)
+    X = rng.uniform(size=(12, 2))
+    y = X[:, 0] ** 2 + 0.3 * X[:, 1]
+    gp = BayesGPR(random_state=6)
+    gp.fit(X, y, n_burnin=2, progress=False)
+    Xq = np.array([[0.4, 0.6]])
+    mean, std, mg, sg = gp.predict(
+        Xq, return_std=True, return_mean_grad=True, return_std_grad=True
+    )
+    eps = 1e-6
+    for j in range(2):
+        Xp = Xq.copy()
+        Xp[0, j] += eps
+        mp, sp = gp.predict(Xp, return_std=True)
+        np.testing.assert_allclose(
+            (mp[0] - mean[0]) / eps, mg[0, j], rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            (sp[0] - std[0]) / eps, sg[0, j], rtol=1e-3, atol=1e-5
+        )
