@@ -1,0 +1,356 @@
+"""Acquisition functions marginalized over the hyperposterior — one fused pass.
+
+Capability parity with the reference's ``bask/acquisition.py``: the same 8
+acquisitions under the same three ABCs, plus the ``evaluate_acquisitions``
+dispatcher. TPU-first differences:
+
+* the reference loops hyperposterior draws in Python, re-factorizing the
+  kernel per draw (``bask/acquisition.py:112-141``); here all draws run in
+  one jitted ``vmap`` — a single batched Cholesky for the whole
+  marginalization,
+* PVRS / VarianceReduction avoid the reference's per-candidate
+  (n+1)x(n+1) Cholesky loop (``bask/acquisition.py:289-299,329-338``):
+  the augmented factor is obtained by a rank-1 border of the *shared*
+  train factor, so the whole candidate grid costs two triangular solves
+  and matmuls (O(C n^2) instead of O(C n^3)),
+* MaxValueSearch replaces the three brentq percentile solves
+  (``bask/acquisition.py:243-252``) with fixed-iteration bisection, which
+  is jit- and vmap-compatible.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import gp as gpc
+from .models import warping as wpm
+from .models.bayesgpr import _posterior_robust
+from .ops.linalg import augmented_quadform
+from .utils.stats import norm_cdf, norm_logcdf, norm_pdf
+
+__all__ = [
+    "evaluate_acquisitions",
+    "Acquisition",
+    "UncertaintyAcquisition",
+    "SampleAcquisition",
+    "FullGPAcquisition",
+    "ExpectedImprovement",
+    "TopTwoEI",
+    "Expectation",
+    "LCB",
+    "MaxValueSearch",
+    "ThompsonSampling",
+    "VarianceReduction",
+    "PVRS",
+]
+
+
+class Acquisition(ABC):
+    @abstractmethod
+    def __call__(self, *args, **kwargs):
+        ...
+
+
+class UncertaintyAcquisition(Acquisition, ABC):
+    """Evaluated from the predictive (mu, std) of one hyperposterior draw."""
+
+    @abstractmethod
+    def __call__(self, mu, std, *args, **kwargs):
+        ...
+
+
+class SampleAcquisition(Acquisition, ABC):
+    """Evaluated from one joint posterior function draw."""
+
+    @abstractmethod
+    def __call__(self, gp_sample, *args, **kwargs):
+        ...
+
+
+class FullGPAcquisition(Acquisition, ABC):
+    """Needs the full GP state (consensus model)."""
+
+    @abstractmethod
+    def __call__(self, X, gp, *args, **kwargs):
+        ...
+
+
+def _ei_term(z):
+    return z * norm_cdf(z) + norm_pdf(z)
+
+
+class ExpectedImprovement(UncertaintyAcquisition):
+    """EI over the current observed minimum (default: min of mu)."""
+
+    def __call__(self, mu, std, *args, y_opt=None, **kwargs):
+        if y_opt is None:
+            y_opt = jnp.min(mu)
+        ok = std > 0
+        safe_std = jnp.where(ok, std, 1.0)
+        z = (y_opt - mu) / safe_std
+        return jnp.where(ok, _ei_term(z) * safe_std, 0.0)
+
+
+class TopTwoEI(ExpectedImprovement):
+    """EI over the point of maximal EI (top-two criterion)."""
+
+    def __call__(self, mu, std, *args, y_opt=None, **kwargs):
+        ei = super().__call__(mu, std, y_opt=y_opt)
+        i_best = jnp.argmax(ei)
+        ok = std > 0
+        outer = jnp.sqrt(std**2 + std[i_best] ** 2)
+        safe_outer = jnp.where(ok, outer, 1.0)
+        z = (mu[i_best] - mu) / safe_outer
+        return jnp.where(ok, safe_outer * _ei_term(z), 0.0)
+
+
+class Expectation(UncertaintyAcquisition):
+    """Pure exploitation: argmax of -mu."""
+
+    def __call__(self, mu, std, *args, **kwargs):
+        return -mu
+
+
+class LCB(UncertaintyAcquisition):
+    """Lower confidence bound; ``alpha="inf"`` reduces to pure exploration."""
+
+    def __call__(self, mu, std, *args, alpha=1.96, **kwargs):
+        if isinstance(alpha, str):
+            return std
+        return alpha * std - mu
+
+
+class MaxValueSearch(UncertaintyAcquisition):
+    """Max-value entropy search (Wang & Jegelka 2017) with a Gumbel
+    approximation of the optimum-value distribution."""
+
+    def __call__(self, mu, std, *args, n_min_samples=1000, key=None, **kwargs):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        mean = -mu
+        std = jnp.maximum(std, 1e-12)
+        left = jnp.min(mean - 3.0 * std)
+        right = jnp.max(mean + 5.0 * std)
+
+        def cdf_max(x):
+            return jnp.exp(jnp.sum(norm_logcdf((x - mean) / std)))
+
+        def percentile(q):
+            def body(_, lohi):
+                lo, hi = lohi
+                mid = 0.5 * (lo + hi)
+                below = cdf_max(mid) < q
+                return (
+                    jnp.where(below, mid, lo),
+                    jnp.where(below, hi, mid),
+                )
+
+            lo, hi = jax.lax.fori_loop(0, 72, body, (left, right))
+            return 0.5 * (lo + hi)
+
+        q1, med, q2 = percentile(0.25), percentile(0.5), percentile(0.75)
+        beta = (q1 - q2) / (
+            jnp.log(jnp.log(4.0 / 3.0)) - jnp.log(jnp.log(4.0))
+        )
+        alpha = med + beta * jnp.log(jnp.log(2.0))
+        u = jax.random.uniform(
+            key, (n_min_samples,), dtype=mu.dtype, minval=1e-12, maxval=1.0
+        )
+        max_values = -jnp.log(-jnp.log(u)) * beta + alpha
+
+        gamma = (max_values[None, :] - mean[:, None]) / std[:, None]
+        mi = (
+            gamma * norm_pdf(gamma) / (2.0 * jnp.maximum(norm_cdf(gamma), 1e-16))
+            - norm_logcdf(gamma)
+        )
+        return jnp.mean(mi, axis=1)
+
+
+class ThompsonSampling(SampleAcquisition):
+    """Argmax of a negated joint posterior draw."""
+
+    def __call__(self, gp_sample, *args, **kwargs):
+        return -gp_sample
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _variance_explained(kernel, theta, post, data, X_cand, P):
+    """Total predictive variance at probe points P explained after
+    augmenting the training set with each candidate (the PVRS/VR score).
+
+    Uses the shared-factor rank-1 border; see
+    :func:`bask_tpu.ops.linalg.augmented_quadform`.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    mask = data.mask
+    A = kernel.eval(theta, P, data.X) * mask[None, :]  # (m, n_pad)
+    A_sol = solve_triangular(post.L, A.T, lower=True)  # (n_pad, m)
+    k_c = kernel.eval(theta, data.X, X_cand) * mask[:, None]  # (n_pad, C)
+    l_cand = solve_triangular(post.L, k_c, lower=True)
+    k_cc = kernel.diag(theta, X_cand)
+    d2 = jnp.maximum(k_cc - jnp.sum(l_cand * l_cand, axis=0), 1e-16)
+    b = kernel.eval(theta, P, X_cand)  # (m, C)
+    return augmented_quadform(post.L, l_cand, jnp.sqrt(d2), A_sol, b)
+
+
+class VarianceReduction(FullGPAcquisition):
+    """Active-learning criterion: total variance explained over the whole
+    candidate grid after adding each candidate."""
+
+    def __call__(self, X, gp, *args, **kwargs):
+        X = np.asarray(X)
+        Xw = jnp.asarray(gp.warp(X), dtype=gp._dtype())
+        theta = jnp.asarray(gp._theta, dtype=gp._dtype())
+        vals = _variance_explained(
+            gp.kernel_, theta, gp._post, gp._post_data, Xw, Xw
+        )
+        return np.asarray(vals)
+
+
+class PVRS(FullGPAcquisition):
+    """Predictive variance reduction search (Nguyen et al. 2017): minimize
+    the summed predictive variance at Thompson-sampled minimizers."""
+
+    def __call__(self, X, gp, *args, n_thompson=10, random_state=None, **kwargs):
+        X = np.asarray(X)
+        ts = gp.sample_y(
+            X, sample_mean=True, n_samples=n_thompson, random_state=random_state
+        )
+        Xw = np.asarray(gp.warp(X))
+        thompson_points = Xw[np.argmin(ts, axis=0)]
+        theta = jnp.asarray(gp._theta, dtype=gp._dtype())
+        vals = _variance_explained(
+            gp.kernel_,
+            theta,
+            gp._post,
+            gp._post_data,
+            jnp.asarray(Xw, dtype=gp._dtype()),
+            jnp.asarray(thompson_points, dtype=gp._dtype()),
+        )
+        return np.asarray(vals)
+
+
+# ---------------------------------------------------------------------------
+# Marginalized evaluation
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "n_warp", "white_idx", "need_sample"),
+)
+def _per_draw_predictions(
+    kernel, rows, data, X, key, n_warp, white_idx, need_sample
+):
+    """mu/std (and optional function draw) for each hyperposterior row.
+
+    Returns (S, m) arrays; one batched factorization for all draws.
+    """
+    keys = jax.random.split(key, rows.shape[0])
+
+    def one(x, k):
+        if n_warp:
+            theta_gp, la, lb = wpm.split_warp_params(x, n_warp)
+            d = data._replace(X=wpm.warp(data.X, la, lb))
+            Xq = wpm.warp(X, la, lb)
+        else:
+            theta_gp, d, Xq = x, data, X
+        post = _posterior_robust(kernel, theta_gp, d)
+        theta_nf = gpc.noise_free_theta(kernel, theta_gp, white_idx)
+        mu, std = gpc.predict(
+            kernel, theta_nf, post, d, Xq, return_std=True
+        )
+        if need_sample:
+            s = gpc.sample_y(kernel, theta_nf, post, d, Xq, k, 1)[:, 0]
+        else:
+            s = mu
+        return mu, std, s
+
+    return jax.vmap(one)(rows, keys)
+
+
+def evaluate_acquisitions(
+    X,
+    gpr,
+    acquisition_functions=None,
+    n_samples: int = 10,
+    progress: bool = False,
+    random_state=None,
+    **kwargs,
+):
+    """Evaluate acquisitions on candidate grid X, marginalized over
+    ``n_samples`` hyperposterior draws.
+
+    Same contract as the reference dispatcher
+    (``bask/acquisition.py:48-147``): FullGP acquisitions use the
+    consensus model once; Uncertainty/Sample acquisitions are averaged
+    over draws, with non-finite draw results dropped. Returns
+    (n_acqs, n_candidates).
+    """
+    X = np.atleast_2d(np.asarray(X, dtype=float))
+    n_acqs = len(acquisition_functions)
+    out = np.zeros((n_acqs, X.shape[0]))
+    if isinstance(random_state, np.random.RandomState):
+        rs = random_state
+    else:
+        rs = np.random.RandomState(random_state)
+
+    for i, acq in enumerate(acquisition_functions):
+        if isinstance(acq, FullGPAcquisition):
+            vals = acq(X, gpr, random_state=rs, **kwargs)
+            if np.all(np.isfinite(vals)):
+                out[i] = vals
+
+    need_unc = any(
+        isinstance(a, UncertaintyAcquisition) for a in acquisition_functions
+    )
+    need_sample = any(
+        isinstance(a, SampleAcquisition) for a in acquisition_functions
+    )
+    if not (need_unc or need_sample) or n_samples <= 0:
+        return out
+
+    idx = rs.choice(len(gpr.chain_), replace=False, size=n_samples)
+    rows = jnp.asarray(gpr.chain_[idx], dtype=gpr._dtype())
+    n_warp = gpr._X_orig.shape[1] if gpr.warp_inputs else 0
+    key = jax.random.PRNGKey(rs.randint(0, 2**31 - 1))
+    mu_s, std_s, samp_s = _per_draw_predictions(
+        gpr.kernel_,
+        rows,
+        gpr._data,
+        jnp.asarray(X, dtype=gpr._dtype()),
+        key,
+        n_warp,
+        gpr.white_index_,
+        need_sample,
+    )
+
+    acq_keys = jax.random.split(
+        jax.random.PRNGKey(rs.randint(0, 2**31 - 1)), n_samples
+    )
+    for i, acq in enumerate(acquisition_functions):
+        if isinstance(acq, UncertaintyAcquisition):
+            if isinstance(acq, MaxValueSearch):
+                fn = jax.vmap(
+                    lambda m, s, k: acq(m, s, key=k, **kwargs)
+                )
+                vals = fn(mu_s, std_s, acq_keys)
+            else:
+                vals = jax.vmap(lambda m, s: acq(m, s, **kwargs))(
+                    mu_s, std_s
+                )
+        elif isinstance(acq, SampleAcquisition):
+            vals = jax.vmap(lambda s: acq(s, **kwargs))(samp_s)
+        else:
+            continue
+        vals = np.asarray(vals)  # (S, m)
+        finite = np.all(np.isfinite(vals), axis=1)
+        if finite.any():
+            out[i] += vals[finite].sum(axis=0) / n_samples
+    return out

@@ -87,16 +87,11 @@ def posterior(kernel, theta, data: GPData) -> GPPosterior:
 
 def log_marginal_likelihood(kernel, theta, data: GPData):
     """Scalar LML; -inf when the gram is not positive definite."""
-    Kp = masked_gram(kernel, theta, data.X, data.alpha_diag, data.mask)
-    L = masked_cholesky(Kp)
-    alpha_dual = cho_solve_masked(L, data.y)
-    n = jnp.sum(data.mask)
-    lml = (
-        -0.5 * jnp.dot(data.y, alpha_dual)
-        - jnp.sum(jnp.where(data.mask, jnp.log(jnp.diagonal(L)), 0.0))
-        - 0.5 * n * math.log(2.0 * math.pi)
+    from ..ops.linalg import masked_lml
+
+    return masked_lml(
+        kernel, theta, data.X, data.y, data.alpha_diag, data.mask
     )
-    return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
 
 
 def noise_free_theta(kernel, theta, white_index: Optional[int]):

@@ -1,0 +1,162 @@
+"""Matmul-only blocked Cholesky — the MCMC hot-path factorization.
+
+XLA's stock ``cholesky`` on TPU runs a column-sequential loop whose
+latency dominates the walker-batched LML (measured ~7ms for a (50, 512,
+512) batch — <1% MXU utilization). This module reformulates the batched
+factorization as *pure batched matmuls* plus a tiny base case:
+
+* recursive 2x2 block Cholesky:  A = [[A11, .], [A21, A22]] ->
+  L11 = chol(A11), L21 = A21 L11^-T, L22 = chol(A22 - L21 L21^T),
+* the triangular inverse L11^-1 is computed with Newton–Schulz
+  iterations  X <- X (2I - L X).  For a lower-triangular L with exact
+  diagonal seed the error  E = I - X L  is strictly lower triangular,
+  hence *nilpotent*, and squares each iteration — the inverse is EXACT
+  after ceil(log2(m)) iterations, with every step a batched matmul on
+  the MXU,
+* the base case (<= 32) falls back to XLA's cholesky, whose loop is
+  short at that size.
+
+Non-PD inputs surface as NaNs in a base-case factor and propagate
+through every downstream matmul, preserving the branchless
+"failed factorization -> -inf log-probability" semantics the MCMC
+relies on (reference behavior: ``bask/bayesgpr.py:373-379``).
+
+``block_forward_solve`` reuses the diagonal-block inverses to apply
+L^-1 to a vector with a handful of batched small matmuls instead of a
+latency-bound length-n triangular solve.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _mm(a, b):
+    """Matmul at full f32 precision (TPU default is bf16 passes, which
+    destroys LML accuracy)."""
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
+__all__ = ["tri_newton_inv", "block_cholesky", "block_forward_solve", "fast_lml_terms"]
+
+_BASE = 32
+
+
+def tri_newton_inv(L, m: int | None = None):
+    """Exact inverse of a lower-triangular (..., m, m) matrix.
+
+    Newton–Schulz ``X <- X (2I - L X)`` from the diagonal seed; exact in
+    ceil(log2(m)) iterations because the residual is nilpotent.
+    """
+    if m is None:
+        m = L.shape[-1]
+    iters = max(1, math.ceil(math.log2(m)))
+    eye = jnp.eye(m, dtype=L.dtype)
+    d = 1.0 / jnp.diagonal(L, axis1=-2, axis2=-1)
+    X = eye * d[..., :, None]
+    for _ in range(iters):
+        X = _mm(X, 2.0 * eye - _mm(L, X))
+    # the iteration preserves lower-triangularity up to rounding; clamp it
+    return jnp.tril(X)
+
+
+def _chol_recursive(A):
+    n = A.shape[-1]
+    if n <= _BASE:
+        return jnp.linalg.cholesky(A)
+    h = n // 2
+    A11 = A[..., :h, :h]
+    A21 = A[..., h:, :h]
+    A22 = A[..., h:, h:]
+    L11 = _chol_recursive(A11)
+    L11_inv = tri_newton_inv(L11, h)
+    L21 = _mm(A21, jnp.swapaxes(L11_inv, -1, -2))
+    S = A22 - _mm(L21, jnp.swapaxes(L21, -1, -2))
+    L22 = _chol_recursive(S)
+    top = jnp.concatenate(
+        [L11, jnp.zeros_like(A[..., :h, h:])], axis=-1
+    )
+    bot = jnp.concatenate([L21, L22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+@partial(jnp.vectorize, signature="(n,n)->(n,n)")
+def _chol_vec(A):  # pragma: no cover - thin wrapper
+    return _chol_recursive(A)
+
+
+def block_cholesky(A, nb: int = 128):
+    """Lower Cholesky of (..., n, n) via matmul-rich blocking.
+
+    ``n`` must be a multiple of ``nb`` (or <= nb, which falls through to
+    the recursive kernel directly). Returns ``(L, diag_invs)`` where
+    ``diag_invs`` is the list of T inverted diagonal blocks, reusable by
+    :func:`block_forward_solve`.
+    """
+    n = A.shape[-1]
+    if n <= nb:
+        L = _chol_recursive(A)
+        return L, [tri_newton_inv(L, n)]
+    assert n % nb == 0, f"n={n} must be a multiple of nb={nb}"
+    T = n // nb
+    M = A
+    cols = []
+    invs = []
+    for j in range(T):
+        lo = j * nb
+        hi = lo + nb
+        D = M[..., lo:hi, lo:hi]
+        Ld = _chol_recursive(D)
+        Ld_inv = tri_newton_inv(Ld, nb)
+        invs.append(Ld_inv)
+        below = M[..., hi:, lo:hi]
+        P = _mm(below, jnp.swapaxes(Ld_inv, -1, -2))
+        col = jnp.concatenate(
+            [
+                jnp.zeros_like(M[..., :lo, lo:hi]),
+                Ld,
+                P,
+            ],
+            axis=-2,
+        )
+        cols.append(col)
+        if j + 1 < T:
+            tail = M[..., hi:, hi:] - _mm(P, jnp.swapaxes(P, -1, -2))
+            # rebuild M with the updated trailing block only (slices of
+            # the old M elsewhere are never read again)
+            M = M.at[..., hi:, hi:].set(tail)
+    return jnp.concatenate(cols, axis=-1), invs
+
+
+def block_forward_solve(L, invs, y, nb: int = 128):
+    """w = L^-1 y using the cached diagonal-block inverses.
+
+    ``y``: (..., n). A handful of batched (nb x nb) matmuls instead of a
+    sequential length-n substitution.
+    """
+    n = L.shape[-1]
+    if n <= nb:
+        return (_mm(invs[0], y[..., None]))[..., 0]
+    T = n // nb
+    ws = []
+    for j in range(T):
+        lo = j * nb
+        hi = lo + nb
+        rhs = y[..., lo:hi]
+        for k, wk in enumerate(ws):
+            Ljk = L[..., lo:hi, k * nb : (k + 1) * nb]
+            rhs = rhs - (_mm(Ljk, wk[..., None]))[..., 0]
+        ws.append((_mm(invs[j], rhs[..., None]))[..., 0])
+    return jnp.concatenate(ws, axis=-1)
+
+
+def fast_lml_terms(Kp, y, nb: int = 128):
+    """(log|K|/2 as sum log diag L, |L^-1 y|^2) via the fast factorization."""
+    L, invs = block_cholesky(Kp, nb=nb)
+    w = block_forward_solve(L, invs, y, nb=nb)
+    logdiag = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    quad = jnp.sum(w * w, axis=-1)
+    return L, logdiag, quad

@@ -24,6 +24,7 @@ import math
 from dataclasses import dataclass, field, replace
 from typing import Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,7 +54,7 @@ def sqdist(X, Y, inv_ls):
     d2 = (
         jnp.sum(Xs * Xs, axis=1)[:, None]
         + jnp.sum(Ys * Ys, axis=1)[None, :]
-        - 2.0 * Xs @ Ys.T
+        - 2.0 * jnp.matmul(Xs, Ys.T, precision=jax.lax.Precision.HIGHEST)
     )
     return jnp.maximum(d2, 0.0)
 

@@ -40,6 +40,22 @@ __all__ = [
 
 _LOG2PI = math.log(2.0 * math.pi)
 
+# The matmul-only blocked Cholesky (see fast_cholesky.py) is the float32
+# hot path for large padded grams; float64 / small problems stay on the
+# (bit-accurate vs LAPACK) XLA factorization. Override: "on" / "off" /
+# "auto".
+FAST_CHOLESKY = "auto"
+
+
+def _use_fast_path(Kp) -> bool:
+    if FAST_CHOLESKY == "off":
+        return False
+    n = Kp.shape[-1]
+    shape_ok = n >= 128 and n % 128 == 0
+    if FAST_CHOLESKY == "on":
+        return shape_ok
+    return shape_ok and Kp.dtype == jnp.float32
+
 
 def masked_gram(kernel, theta, X, alpha_diag, mask):
     """Build K + diag(alpha) with identity rows for padded entries.
@@ -73,14 +89,23 @@ def cho_solve_masked(L, B):
 def masked_lml(kernel, theta, X, y, alpha_diag, mask):
     """Log marginal likelihood of the masked problem; -inf on failure.
 
-    ``y`` must be zero at padded entries. Returns a scalar.
+    ``y`` must be zero at padded entries. Returns a scalar. Uses the
+    single-forward-solve form  y^T K^-1 y = |L^-1 y|^2  (one triangular
+    solve instead of the two a cho_solve would need — triangular solves
+    are latency-bound on TPU).
     """
     Kp = masked_gram(kernel, theta, X, alpha_diag, mask)
-    L = masked_cholesky(Kp)
-    alpha_dual = cho_solve_masked(L, y)
     n = jnp.sum(mask)
+    if _use_fast_path(Kp):
+        from .fast_cholesky import fast_lml_terms
+
+        _, logdiag, quad = fast_lml_terms(Kp, y)
+        lml = -0.5 * quad - logdiag - 0.5 * n * _LOG2PI
+        return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+    L = masked_cholesky(Kp)
+    w = solve_triangular(L, y, lower=True)
     lml = (
-        -0.5 * jnp.dot(y, alpha_dual)
+        -0.5 * jnp.dot(w, w)
         - jnp.sum(jnp.where(mask, jnp.log(jnp.diagonal(L)), 0.0))
         - 0.5 * n * _LOG2PI
     )

@@ -1,0 +1,424 @@
+"""Ask/tell Bayesian optimization loop with stopping-rule diagnostics.
+
+Capability parity with the reference ``Optimizer``
+(``bask/optimizer.py:35-689``): the same acquisition registry, init
+strategies ("sb", "r2", "random"), per-point noise vectors, GP warm-start
+cadence (full ``fit`` once, cheap ``sample`` afterwards), and the three
+diagnostics ``probability_of_optimality`` / ``expected_optimality_gap`` /
+``optimum_intervals``.
+
+The device work per ``tell`` is two fused programs: the MCMC chain
+(``BayesGPR.sample``) and the marginalized acquisition pass
+(``evaluate_acquisitions``); the host only orchestrates.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import numpy as np
+
+from . import acquisition as acq_mod
+from .acquisition import evaluate_acquisitions
+from .models.bayesgpr import BayesGPR
+from .space import normalize_dimensions
+from .utils.init_seq import r2_sequence, sb_sequence
+from .utils.priors import construct_default_kernel
+from .utils.result import create_result, expected_minimum
+from .utils.stats import hdi
+
+__all__ = ["Optimizer", "ACQUISITION_FUNC"]
+
+ACQUISITION_FUNC = {
+    "ei": acq_mod.ExpectedImprovement(),
+    "lcb": acq_mod.LCB(),
+    "mean": acq_mod.Expectation(),
+    "mes": acq_mod.MaxValueSearch(),
+    "pvrs": acq_mod.PVRS(),
+    "ts": acq_mod.ThompsonSampling(),
+    "ttei": acq_mod.TopTwoEI(),
+    "vr": acq_mod.VarianceReduction(),
+}
+
+
+def _is_listlike(x):
+    return isinstance(x, (list, tuple, np.ndarray))
+
+
+def _is_2dlistlike(x):
+    return _is_listlike(x) and len(x) > 0 and all(_is_listlike(p) for p in x)
+
+
+class Optimizer:
+    """Stepwise Bayesian optimization over a search space.
+
+    Parameters follow the reference (``bask/optimizer.py:38-117``):
+    ``dimensions`` (tuples / category lists / Dimension objects),
+    ``n_points`` candidate-grid size, ``n_initial_points`` +
+    ``init_strategy`` in {"sb", "r2", "random"}, ``gp_kernel`` /
+    ``gp_kwargs`` / ``gp_priors``, ``acq_func`` from
+    :data:`ACQUISITION_FUNC` or a custom :class:`Acquisition`, and
+    ``random_state``. Unknown kwargs are tolerated.
+    """
+
+    def __init__(
+        self,
+        dimensions,
+        n_points: int = 500,
+        n_initial_points: int = 10,
+        init_strategy: Optional[str] = "sb",
+        gp_kernel=None,
+        gp_kwargs: Optional[dict] = None,
+        gp_priors=None,
+        acq_func="pvrs",
+        acq_func_kwargs: Optional[dict] = None,
+        random_state=None,
+        **kwargs,
+    ):
+        if isinstance(random_state, np.random.RandomState):
+            self.rng = random_state
+        else:
+            self.rng = np.random.RandomState(random_state)
+
+        if callable(acq_func):
+            self.acq_func = acq_func
+        else:
+            self.acq_func = ACQUISITION_FUNC[acq_func]
+        self.acq_func_kwargs = acq_func_kwargs or {}
+
+        self.space = normalize_dimensions(dimensions)
+        self._n_initial_points = n_initial_points
+        self.n_initial_points_ = n_initial_points
+        self.init_strategy = init_strategy
+        if self.init_strategy == "r2":
+            self._initial_points = self.space.inverse_transform(
+                r2_sequence(n=n_initial_points, d=self.space.transformed_n_dims)
+            )
+        elif self.init_strategy == "sb":
+            self._init_rng = np.random.RandomState(self.rng.randint(2**31))
+        self.n_points = n_points
+
+        gp_kwargs = dict(gp_kwargs or {})
+        if gp_kernel is None:
+            gp_kernel = construct_default_kernel(
+                list(range(self.space.transformed_n_dims))
+            )
+        self.gp = BayesGPR(
+            kernel=gp_kernel,
+            random_state=self.rng.randint(0, np.iinfo(np.int32).max),
+            **gp_kwargs,
+        )
+        self.gp_priors = gp_priors
+
+        self.Xi = []
+        self.yi = []
+        self.noisei = []
+        self._next_x = None
+
+    # ------------------------------------------------------------------
+
+    def ask(self, n_points: int = 1):
+        """Next point to evaluate (init-phase design point or the cached
+        acquisition argmax computed by the last ``tell``)."""
+        if n_points > 1:
+            raise NotImplementedError(
+                "Returning multiple points is not implemented yet."
+            )
+        if self._n_initial_points > 0:
+            if self.init_strategy == "r2":
+                return self._initial_points[self._n_initial_points - 1]
+            if self.init_strategy == "sb":
+                existing = (
+                    self.space.transform(self.Xi) if len(self.Xi) else None
+                )
+                pts = sb_sequence(
+                    n=len(self.Xi) + 1,
+                    d=self.space.transformed_n_dims,
+                    existing_points=existing,
+                    random_state=self._init_rng.randint(2**31),
+                )
+                return self.space.inverse_transform(
+                    np.atleast_2d(pts[len(self.Xi)])
+                )[0]
+            return self.space.rvs(random_state=self.rng)[0]
+        if self.gp.kernel_ is None:
+            raise RuntimeError(
+                "Initialization is finished, but no model has been fit."
+            )
+        return self._next_x
+
+    def tell(
+        self,
+        x,
+        y,
+        noise_vector=None,
+        fit: bool = True,
+        replace: bool = False,
+        n_samples: int = 0,
+        gp_samples: int = 100,
+        gp_burnin: int = 10,
+        progress: bool = False,
+    ):
+        """Report objective value(s) and (optionally) refit + precompute
+        the next proposal. Returns a scipy OptimizeResult."""
+        if replace:
+            self.Xi, self.yi, self.noisei = [], [], []
+            self._n_initial_points = self.n_initial_points_
+        if _is_listlike(y) and _is_2dlistlike(x):
+            self.Xi.extend([list(p) for p in x])
+            self.yi.extend([float(v) for v in y])
+            if noise_vector is None:
+                noise_vector = [0.0] * len(y)
+            elif not _is_listlike(noise_vector) or len(noise_vector) != len(y):
+                raise ValueError(
+                    "Vector of noise variances needs to be of equal length as y."
+                )
+            self.noisei.extend([float(v) for v in noise_vector])
+            self._n_initial_points -= len(y)
+        elif _is_listlike(x):
+            self.Xi.append(list(x))
+            self.yi.append(float(y))
+            if noise_vector is None:
+                noise_vector = 0.0
+            elif _is_listlike(noise_vector):
+                raise ValueError(
+                    "Vector of noise variances passed with a single point."
+                )
+            self.noisei.append(float(noise_vector))
+            self._n_initial_points -= 1
+        else:
+            raise ValueError(
+                f"Incompatible argument types: x ({type(x)}) and y ({type(y)})"
+            )
+
+        if fit and self._n_initial_points <= 0:
+            if (
+                self.gp_priors is not None
+                and not callable(self.gp_priors)
+                and len(self.gp_priors) != self.space.transformed_n_dims + 2
+            ):
+                raise ValueError(
+                    "The number of priors does not match the number of "
+                    "dimensions + 2."
+                )
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                common = dict(
+                    noise_vector=np.asarray(self.noisei),
+                    priors=self.gp_priors,
+                    n_desired_samples=gp_samples,
+                    n_burnin=gp_burnin,
+                    progress=progress,
+                )
+                if self.gp.pos_ is None or replace:
+                    self.gp.fit(
+                        self.space.transform(self.Xi), self.yi, **common
+                    )
+                else:
+                    self.gp.sample(
+                        self.space.transform(self.Xi), self.yi, **common
+                    )
+
+            if self.gp.warp_inputs:
+                X_warped = self.rng.uniform(
+                    size=(self.n_points, self.space.transformed_n_dims)
+                )
+                X = self.gp.unwarp(X_warped)
+            else:
+                X = self.space.transform(
+                    self.space.rvs(
+                        n_samples=self.n_points, random_state=self.rng
+                    )
+                )
+            acq_values = evaluate_acquisitions(
+                X=X,
+                gpr=self.gp,
+                acquisition_functions=(self.acq_func,),
+                n_samples=n_samples,
+                progress=False,
+                random_state=self.rng.randint(0, np.iinfo(np.int32).max),
+                **self.acq_func_kwargs,
+            ).flatten()
+            self._next_x = self.space.inverse_transform(
+                X[np.argmax(acq_values)][None, :]
+            )[0]
+
+        return create_result(
+            self.Xi, self.yi, self.space, self.rng, models=[self.gp]
+        )
+
+    def run(
+        self,
+        func,
+        n_iter: int = 1,
+        replace: bool = False,
+        n_samples: int = 5,
+        gp_samples: int = 100,
+        gp_burnin: int = 10,
+    ):
+        """Drive the ask/tell loop on ``func`` (scalar or (value, noise))."""
+        for _ in range(n_iter):
+            x = self.ask()
+            out = func(x)
+            if hasattr(out, "__len__"):
+                val, noise = out
+            else:
+                val, noise = out, 0.0
+            self.tell(
+                x,
+                val,
+                noise_vector=noise,
+                n_samples=n_samples,
+                gp_samples=gp_samples,
+                gp_burnin=gp_burnin,
+                replace=replace,
+            )
+            replace = False
+        return create_result(
+            self.Xi, self.yi, self.space, self.rng, models=[self.gp]
+        )
+
+    # -- stopping-rule diagnostics (reference bask/optimizer.py:447-689) --
+
+    def probability_of_optimality(
+        self,
+        threshold,
+        n_space_samples: int = 500,
+        n_gp_samples: int = 200,
+        n_random_starts: int = 100,
+        use_mean_gp: bool = True,
+        normalized_scores: bool = True,
+        random_state=None,
+    ):
+        """Monte-Carlo probability that the current expected optimum is
+        within ``threshold`` of the true optimum under the GP posterior."""
+        result = create_result(
+            self.Xi, self.yi, self.space, self.rng, models=[self.gp]
+        )
+        X_orig = [
+            expected_minimum(
+                result,
+                random_state=random_state,
+                n_random_starts=n_random_starts,
+            )[0]
+        ]
+        X_orig.extend(
+            self.space.rvs(n_samples=n_space_samples, random_state=random_state)
+        )
+        X_trans = self.space.transform(X_orig)
+        score_samples = self.gp.sample_y(
+            X_trans,
+            n_samples=n_gp_samples,
+            sample_mean=use_mean_gp,
+            random_state=random_state,
+        )
+        if normalized_scores:
+            std = np.std(score_samples, axis=0)
+            std = np.where(std > 0, std, 1.0)
+
+        thresholds = threshold if _is_listlike(threshold) else [threshold]
+        probabilities = []
+        for eps in thresholds:
+            diff = score_samples[0][None, :] - score_samples
+            if normalized_scores:
+                diff = diff / std
+            probabilities.append(
+                float((((diff - eps).max(axis=0)) < 0.0).mean())
+            )
+        if len(probabilities) == 1:
+            return probabilities[0]
+        return probabilities
+
+    def expected_optimality_gap(
+        self,
+        max_tries: int = 3,
+        n_probabilities: int = 50,
+        n_space_samples: int = 500,
+        n_gp_samples: int = 200,
+        n_random_starts: int = 100,
+        tol: float = 0.01,
+        use_mean_gp: bool = True,
+        normalized_scores: bool = True,
+        random_state=None,
+    ):
+        """Expected optimality gap by integrating the gap CDF estimated
+        from ``probability_of_optimality`` over thresholds."""
+        from scipy.optimize import minimize_scalar
+
+        if not isinstance(random_state, np.random.RandomState):
+            random_state = np.random.RandomState(random_state)
+        seed = random_state.randint(0, 2**31 - 1)
+
+        def func(threshold):
+            prob = self.probability_of_optimality(
+                threshold=threshold,
+                n_random_starts=n_random_starts,
+                n_gp_samples=n_gp_samples,
+                n_space_samples=n_space_samples,
+                use_mean_gp=use_mean_gp,
+                normalized_scores=normalized_scores,
+                random_state=seed,
+            )
+            return (prob - 1.0) ** 2 + threshold**2 * 1e-3
+
+        max_gap = float(np.max(self.yi) - np.min(self.yi))
+        upper = None
+        for _ in range(max_tries):
+            try:
+                upper = minimize_scalar(
+                    func, bounds=(0.0, max_gap), method="bounded", tol=tol
+                ).x
+                break
+            except ValueError:
+                continue
+        if upper is None:
+            raise ValueError("Determining the upper threshold was not possible.")
+
+        thresholds = list(np.linspace(0.0, upper, num=n_probabilities))
+        probabilities = self.probability_of_optimality(
+            thresholds,
+            n_random_starts=n_random_starts,
+            n_gp_samples=n_gp_samples,
+            n_space_samples=n_space_samples,
+            use_mean_gp=use_mean_gp,
+            normalized_scores=normalized_scores,
+            random_state=seed,
+        )
+        gap = 0.0
+        for i in range(len(probabilities) - 1):
+            gap += (probabilities[i + 1] - probabilities[i]) * thresholds[i + 1]
+        return gap
+
+    def optimum_intervals(
+        self,
+        hdi_prob: float = 0.95,
+        multimodal: bool = True,
+        opt_samples: int = 200,
+        space_samples: int = 500,
+        only_mean: bool = True,
+        random_state=None,
+    ):
+        """Highest-density intervals of the optimum location per dimension
+        via Thompson sampling (replaces arviz.hdi with the in-house
+        estimator)."""
+        if self.space.is_partly_categorical:
+            raise NotImplementedError(
+                "Highest density intervals not supported for categorical "
+                "dimensions."
+            )
+        X = self.space.rvs(n_samples=space_samples, random_state=random_state)
+        Xt = self.space.transform(X)
+        optimum_samples = self.gp.sample_y(
+            Xt,
+            sample_mean=only_mean,
+            n_samples=opt_samples,
+            random_state=random_state,
+        )
+        X_opt = Xt[np.argmin(optimum_samples, axis=0)]
+        intervals = []
+        for i, col in enumerate(X_opt.T):
+            raw = hdi(col, hdi_prob=hdi_prob, multimodal=multimodal)
+            dim = self.space.dimensions[i]
+            intervals.append(np.asarray(dim.inverse_transform(raw)))
+        return intervals

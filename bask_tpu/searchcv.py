@@ -1,0 +1,165 @@
+"""sklearn-compatible hyperparameter search driven by the bask-tpu Optimizer.
+
+Capability parity with the reference's ``BayesSearchCV``
+(``bask/searchcv.py:8``), which wraps skopt's searcher around the bask
+``Optimizer``. skopt is not a dependency here, so this class builds
+directly on sklearn's ``BaseSearchCV``: the candidate evaluation / CV /
+refit machinery is sklearn's; the sequential point proposal is the
+fully-Bayesian ask/tell loop (one candidate per iteration, evaluated by
+``evaluate_candidates``, fed back with the negated mean test score).
+
+``return_policy="best_mean"`` selects the evaluated setting whose GP
+posterior mean is best instead of the best single observation — the
+robust choice for noisy targets (reference ``bask/searchcv.py:55-68``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from sklearn.model_selection._search import BaseSearchCV
+
+from .optimizer import Optimizer
+from .space import dimensions_aslist, point_asdict
+
+__all__ = ["BayesSearchCV"]
+
+
+class BayesSearchCV(BaseSearchCV):
+    """Fully-Bayesian cross-validated hyperparameter search.
+
+    Parameters mirror the reference: ``estimator``, ``search_spaces``
+    (dict / list of dicts / list of (dict, n_iter) tuples with parameter
+    name -> Dimension), ``optimizer_kwargs`` forwarded to
+    :class:`bask_tpu.Optimizer` (``n_samples``, ``gp_samples``,
+    ``gp_burnin`` are extracted as step parameters), ``n_iter``,
+    ``return_policy`` in {"best_setting", "best_mean"}, plus the usual
+    sklearn CV arguments.
+    """
+
+    def __init__(
+        self,
+        estimator,
+        search_spaces,
+        optimizer_kwargs: Optional[dict] = None,
+        n_iter: int = 50,
+        return_policy: str = "best_setting",
+        scoring=None,
+        fit_params=None,
+        n_jobs: int = 1,
+        n_points: int = 1,
+        iid: bool = True,
+        refit: bool = True,
+        cv=None,
+        verbose: int = 0,
+        pre_dispatch="2*n_jobs",
+        random_state=None,
+        error_score="raise",
+        return_train_score: bool = False,
+    ):
+        self.search_spaces = search_spaces
+        self.optimizer_kwargs = optimizer_kwargs
+        self.n_iter = n_iter
+        self.return_policy = return_policy
+        self.n_points = n_points
+        self.iid = iid
+        self.random_state = random_state
+        self.fit_params = fit_params
+        super().__init__(
+            estimator=estimator,
+            scoring=scoring,
+            n_jobs=n_jobs,
+            refit=refit,
+            cv=cv,
+            verbose=verbose,
+            pre_dispatch=pre_dispatch,
+            error_score=error_score,
+            return_train_score=return_train_score,
+        )
+
+    # -- search space handling --------------------------------------------
+
+    def _normalized_spaces(self):
+        """-> list of (search_space_dict, n_iter)."""
+        spaces = self.search_spaces
+        if isinstance(spaces, dict):
+            return [(spaces, self.n_iter)]
+        out = []
+        for entry in spaces:
+            if isinstance(entry, tuple) and len(entry) == 2:
+                out.append((entry[0], int(entry[1])))
+            else:
+                out.append((entry, self.n_iter))
+        return out
+
+    def _make_optimizer(self, params_space: dict) -> Optimizer:
+        kwargs = dict(self.optimizer_kwargs_)
+        kwargs["dimensions"] = dimensions_aslist(params_space)
+        kwargs.setdefault(
+            "random_state", self._rng.randint(0, np.iinfo(np.int32).max)
+        )
+        optimizer = Optimizer(**kwargs)
+        for name, dim in zip(
+            sorted(params_space.keys()), optimizer.space.dimensions
+        ):
+            if dim.name is None:
+                dim.name = name
+        return optimizer
+
+    # -- sklearn hook ------------------------------------------------------
+
+    def _run_search(self, evaluate_candidates):
+        self._rng = np.random.RandomState(self.random_state)
+        kwargs = dict(self.optimizer_kwargs or {})
+        self.n_samples_ = kwargs.pop("n_samples", 0)
+        self.gp_samples_ = kwargs.pop("gp_samples", 100)
+        self.gp_burnin_ = kwargs.pop("gp_burnin", 5)
+        kwargs.setdefault("acq_func", "pvrs")
+        self.optimizer_kwargs_ = kwargs
+
+        self.optimizers_ = []
+        self._search_space_by_candidate = []
+        for space, n_iter in self._normalized_spaces():
+            optimizer = self._make_optimizer(space)
+            self.optimizers_.append((space, optimizer))
+            for _ in range(n_iter):
+                x = optimizer.ask()
+                x = [np.asarray(v).item() for v in x]
+                params = point_asdict(space, x)
+                results = evaluate_candidates([params])
+                score = results["mean_test_score"][-1]
+                if not np.isfinite(score):
+                    score = np.nanmin(results["mean_test_score"]) - 1.0
+                    if not np.isfinite(score):
+                        score = 0.0
+                optimizer.tell(
+                    x,
+                    -float(score),
+                    n_samples=self.n_samples_,
+                    gp_samples=self.gp_samples_,
+                    gp_burnin=self.gp_burnin_,
+                )
+                self._search_space_by_candidate.append((space, optimizer, x))
+
+    def _select_best_index(self, refit, refit_metric, results):
+        """Honor ``return_policy`` when picking the incumbent."""
+        default = results[f"rank_test_{refit_metric}"].argmin()
+        if self.return_policy != "best_mean" or not getattr(
+            self, "optimizers_", None
+        ):
+            return default
+        # Best-mean policy: among evaluated candidates of the last space,
+        # choose the one whose GP posterior mean (of the negated score)
+        # is lowest.
+        space, optimizer = self.optimizers_[-1]
+        if optimizer.gp.chain_ is None:
+            return default
+        Xt = optimizer.space.transform(optimizer.Xi)
+        mu = optimizer.gp.predict(Xt)
+        best_x = optimizer.Xi[int(np.argmin(mu))]
+        params = point_asdict(space, best_x)
+        for i, p in enumerate(results["params"]):
+            if all(p.get(k) == v for k, v in params.items()):
+                return i
+        return default

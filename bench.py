@@ -1,0 +1,186 @@
+"""North-star benchmark: fully-Bayesian GP fit wall-clock.
+
+Config from BASELINE.json: 15-D, n=500 observations, 100 stretch-move
+walkers x 300 steps. The reference (CPU bask) executes this as
+100 x 300 = 30,000 *serial* Cholesky factorizations of the 500x500 gram
+inside emcee; bask-tpu advances all walkers per step with one batched
+factorization on device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <tpu seconds>, "unit": "s", "vs_baseline": <cpu/tpu speedup>}
+
+The CPU baseline is measured in-process with a NumPy/SciPy
+implementation of the identical workload (serial per-walker
+prior+LML evaluations, the computational shape of the reference's
+``bask/bayesgpr.py:351-379`` hot loop), timed over a slice of steps and
+extrapolated linearly — emcee itself is not installed in this image.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_OBS = 500
+N_DIM = 15
+N_WALKERS = 100
+N_STEPS = 300
+CPU_MEASURE_STEPS = 2  # serial steps to time, extrapolated to N_STEPS
+
+
+def _dataset():
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(N_OBS, N_DIM))
+    y = np.sum((X - 0.5) ** 2, axis=1) + 0.05 * rng.randn(N_OBS)
+    y = (y - y.mean()) / y.std()
+    return X, y
+
+
+def _init_positions(n_theta, rng):
+    pos = 0.05 * rng.randn(N_WALKERS, n_theta)
+    pos[:, -1] += np.log(0.05)  # white-noise channel near the truth
+    return pos
+
+
+# ---------------------------------------------------------------------------
+# TPU path (bask-tpu)
+# ---------------------------------------------------------------------------
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from bask_tpu.models import gp as gpc
+    from bask_tpu.ops import kernels as bk
+    from bask_tpu.parallel.mcmc import run_ensemble
+    from bask_tpu.utils.priors import guess_priors
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    X, y = _dataset()
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
+        tuple([0.3] * N_DIM), (0.05, 2.0), nu=2.5
+    ) + bk.WhiteKernel(0.05, (1e-5, 1e5))
+    n_pad = 512
+    Xp = np.full((n_pad, N_DIM), 0.5)
+    Xp[:N_OBS] = X
+    yp = np.zeros(n_pad)
+    yp[:N_OBS] = y
+    data = gpc.make_data(
+        jnp.asarray(Xp, dtype=dtype),
+        jnp.asarray(yp, dtype=dtype),
+        jnp.asarray(np.full(n_pad, 1e-6), dtype=dtype),
+        jnp.asarray(np.arange(n_pad) < N_OBS),
+    )
+    priors = tuple(guess_priors(kernel))
+
+    def log_prob(theta):
+        lp = 0.0
+        for i, p in enumerate(priors):
+            lp = lp + p(theta[i])
+        lml = gpc.log_marginal_likelihood(kernel, theta, data)
+        tot = lp + lml
+        return jnp.where(jnp.isfinite(tot), tot, -jnp.inf)
+
+    rng = np.random.RandomState(1)
+    pos0 = jnp.asarray(_init_positions(kernel.n_theta, rng), dtype=dtype)
+
+    # warmup/compile with the SAME static n_steps as the timed run
+    chain, final = run_ensemble(log_prob, pos0, jax.random.PRNGKey(0), N_STEPS)
+    jax.block_until_ready(chain)
+
+    t0 = time.perf_counter()
+    chain, final = run_ensemble(log_prob, pos0, jax.random.PRNGKey(1), N_STEPS)
+    jax.block_until_ready(chain)
+    elapsed = time.perf_counter() - t0
+
+    acc = float(final.accepted) / (N_STEPS * N_WALKERS)
+    assert np.isfinite(np.asarray(final.log_prob)).all(), "chain diverged"
+    assert 0.05 < acc < 0.99, f"implausible acceptance rate {acc}"
+    return elapsed, acc
+
+
+# ---------------------------------------------------------------------------
+# CPU reference path (NumPy/SciPy, serial per-walker like emcee)
+# ---------------------------------------------------------------------------
+
+
+def bench_cpu_reference():
+    """Serial stretch-move steps with the reference's per-walker LML.
+
+    Faithful to the reference hot loop (``bask/bayesgpr.py:374``): each
+    log-probability call goes through sklearn's
+    ``GaussianProcessRegressor.log_marginal_likelihood(theta,
+    clone_kernel=True)`` — the same code path bask inherits from the
+    skopt GPR fork — on the identical Const*Matern(2.5)+White kernel.
+    """
+    import sklearn.gaussian_process as skgp
+    import sklearn.gaussian_process.kernels as skk
+
+    X, y = _dataset()
+    rng = np.random.RandomState(1)
+    n_theta = 1 + N_DIM + 1
+    pos = _init_positions(n_theta, rng)
+
+    sk_kernel = skk.ConstantKernel(1.0, (0.1, 2.0)) * skk.Matern(
+        [0.3] * N_DIM, (0.05, 2.0), nu=2.5
+    ) + skk.WhiteKernel(0.05, (1e-5, 1e5))
+    gpr = skgp.GaussianProcessRegressor(
+        kernel=sk_kernel, alpha=1e-6, optimizer=None
+    )
+    gpr.fit(X, y)
+
+    def lml(theta):
+        try:
+            return gpr.log_marginal_likelihood(theta)
+        except np.linalg.LinAlgError:
+            return -np.inf
+
+    lp = np.array([lml(p) for p in pos])
+    half = N_WALKERS // 2
+    t0 = time.perf_counter()
+    for _ in range(CPU_MEASURE_STEPS):
+        for lo, hi, olo, ohi in ((0, half, half, N_WALKERS), (half, N_WALKERS, 0, half)):
+            for i in range(lo, hi):
+                j = rng.randint(olo, ohi)
+                z = ((2 - 1) * rng.rand() + 1) ** 2 / 2
+                prop = pos[j] + z * (pos[i] - pos[j])
+                lp_prop = lml(prop)
+                if np.log(rng.rand()) < (n_theta - 1) * np.log(z) + lp_prop - lp[i]:
+                    pos[i], lp[i] = prop, lp_prop
+    per_step = (time.perf_counter() - t0) / CPU_MEASURE_STEPS
+    return per_step * N_STEPS
+
+
+def main():
+    quick = "--quick" in sys.argv
+    global N_STEPS, CPU_MEASURE_STEPS
+    if quick:
+        N_STEPS = 20
+
+    tpu_time, acc = bench_tpu()
+    cpu_time = bench_cpu_reference()
+    speedup = cpu_time / tpu_time
+
+    print(
+        json.dumps(
+            {
+                "metric": "bayesgpr_fit_n500_d15_100walkers_300steps_wallclock",
+                "value": round(tpu_time, 3),
+                "unit": "s",
+                "vs_baseline": round(speedup, 2),
+                "detail": {
+                    "cpu_reference_extrapolated_s": round(cpu_time, 1),
+                    "acceptance_rate": round(acc, 3),
+                    "n_steps": N_STEPS,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
