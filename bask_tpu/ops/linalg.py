@@ -40,11 +40,15 @@ __all__ = [
 
 _LOG2PI = math.log(2.0 * math.pi)
 
-# The matmul-only blocked Cholesky (see fast_cholesky.py) is the float32
-# hot path for large padded grams; float64 / small problems stay on the
-# (bit-accurate vs LAPACK) XLA factorization. Override: "on" / "off" /
-# "auto".
-FAST_CHOLESKY = "auto"
+# The matmul-only blocked Cholesky (see fast_cholesky.py) is an
+# alternative factorization kept for experimentation. Measured inside a
+# lax.scan on TPU v5e, XLA's native batched Cholesky runs at ~0.3ms for a
+# (50, 512, 512) batch — faster than the blocked-matmul formulation at
+# full f32 precision (6.8ms), so the default is "off". (Standalone
+# dispatch measurements that suggested XLA's Cholesky was slow were
+# dominated by per-call dispatch latency, which the scan amortizes.)
+# Override: "on" / "off" / "auto" (auto = on for f32 when shapes allow).
+FAST_CHOLESKY = "off"
 
 
 def _use_fast_path(Kp) -> bool:

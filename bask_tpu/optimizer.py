@@ -119,12 +119,21 @@ class Optimizer:
     # ------------------------------------------------------------------
 
     def ask(self, n_points: int = 1):
-        """Next point to evaluate (init-phase design point or the cached
-        acquisition argmax computed by the last ``tell``)."""
+        """Next point(s) to evaluate.
+
+        ``n_points=1`` (default) returns the init-phase design point or
+        the cached acquisition argmax computed by the last ``tell``.
+
+        ``n_points>1`` returns a *batch*: during initialization, the next
+        ``n_points`` design points; after fitting, one candidate per
+        Thompson sample of the GP posterior over a fresh candidate grid
+        (the whole batch computed in one fused device pass). The
+        reference raises NotImplementedError here
+        (``bask/optimizer.py:201-204``); batch proposals are first-class
+        in bask-tpu.
+        """
         if n_points > 1:
-            raise NotImplementedError(
-                "Returning multiple points is not implemented yet."
-            )
+            return self._ask_batch(n_points)
         if self._n_initial_points > 0:
             if self.init_strategy == "r2":
                 return self._initial_points[self._n_initial_points - 1]
@@ -147,6 +156,59 @@ class Optimizer:
                 "Initialization is finished, but no model has been fit."
             )
         return self._next_x
+
+    def _ask_batch(self, n_points: int):
+        """Batch proposal via Thompson sampling over a fresh candidate grid.
+
+        Each returned point is the argmin of one joint posterior draw —
+        one fused ``sample_y`` pass on device, batch-size-independent
+        host logic. Duplicate argmins are replaced by the best remaining
+        candidates of their draw.
+        """
+        if self._n_initial_points > 0:
+            # hand out the next init-phase design points
+            out = []
+            if self.init_strategy == "r2":
+                for k in range(n_points):
+                    idx = self._n_initial_points - 1 - k
+                    if idx >= 0:
+                        out.append(self._initial_points[idx])
+                    else:
+                        out.append(self.space.rvs(random_state=self.rng)[0])
+                return out
+            if self.init_strategy == "sb":
+                existing = (
+                    self.space.transform(self.Xi) if len(self.Xi) else None
+                )
+                pts = sb_sequence(
+                    n=len(self.Xi) + n_points,
+                    d=self.space.transformed_n_dims,
+                    existing_points=existing,
+                    random_state=self._init_rng.randint(2**31),
+                )
+                return self.space.inverse_transform(pts[len(self.Xi) :])
+            return self.space.rvs(n_samples=n_points, random_state=self.rng)
+        if self.gp.kernel_ is None:
+            raise RuntimeError(
+                "Initialization is finished, but no model has been fit."
+            )
+        X = self.space.transform(
+            self.space.rvs(n_samples=self.n_points, random_state=self.rng)
+        )
+        draws = self.gp.sample_y(
+            X,
+            n_samples=n_points,
+            random_state=self.rng.randint(0, np.iinfo(np.int32).max),
+        )  # (n_cand, n_points)
+        order = np.argsort(draws, axis=0)
+        chosen, used = [], set()
+        for j in range(n_points):
+            for idx in order[:, j]:
+                if int(idx) not in used:
+                    used.add(int(idx))
+                    chosen.append(int(idx))
+                    break
+        return self.space.inverse_transform(X[chosen])
 
     def tell(
         self,

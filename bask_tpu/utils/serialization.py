@@ -1,0 +1,288 @@
+"""Checkpoint / resume for BayesGPR and Optimizer state.
+
+The reference has no on-disk checkpointing (a ``backup_file`` stub is
+commented out at ``bask/bayesgpr.py:525-527``); its only resume mechanism
+is the in-memory ``pos_`` warm start. bask-tpu keeps that warm-start
+semantics AND adds explicit serialization: kernel specs, chain/walker
+state, observations, and RNG state round-trip through a single ``.npz``
+file, so a long BO run survives preemption — table stakes for
+production TPU jobs.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import numpy as np
+
+from ..ops import kernels as bk
+from .. import space as sp
+
+__all__ = [
+    "kernel_to_dict",
+    "kernel_from_dict",
+    "save_optimizer",
+    "load_optimizer",
+    "save_gpr",
+    "load_gpr",
+]
+
+
+# -- kernel spec <-> dict ----------------------------------------------------
+
+
+def kernel_to_dict(k: bk.Kernel) -> dict:
+    if isinstance(k, bk.Sum) or isinstance(k, bk.Product):
+        return {
+            "type": type(k).__name__,
+            "k1": kernel_to_dict(k.k1),
+            "k2": kernel_to_dict(k.k2),
+        }
+    if isinstance(k, bk.Exponentiation):
+        return {
+            "type": "Exponentiation",
+            "kernel": kernel_to_dict(k.kernel),
+            "exponent": k.exponent,
+        }
+    if isinstance(k, bk.ConstantKernel):
+        return {
+            "type": "ConstantKernel",
+            "value": k.constant_value,
+            "bounds": k.constant_value_bounds,
+        }
+    if isinstance(k, bk.WhiteKernel):
+        return {
+            "type": "WhiteKernel",
+            "value": k.noise_level,
+            "bounds": k.noise_level_bounds,
+        }
+    if isinstance(k, bk.Matern):
+        ls = k.length_scale
+        return {
+            "type": "Matern",
+            "value": list(ls) if np.iterable(ls) else ls,
+            "bounds": k.length_scale_bounds,
+            "nu": k.nu,
+        }
+    if isinstance(k, bk.RBF):
+        ls = k.length_scale
+        return {
+            "type": "RBF",
+            "value": list(ls) if np.iterable(ls) else ls,
+            "bounds": k.length_scale_bounds,
+        }
+    raise TypeError(f"Cannot serialize kernel {type(k).__name__}")
+
+
+def _bounds(b):
+    return tuple(b) if isinstance(b, list) else b
+
+
+def kernel_from_dict(d: dict) -> bk.Kernel:
+    t = d["type"]
+    if t in ("Sum", "Product"):
+        cls = bk.Sum if t == "Sum" else bk.Product
+        return cls(kernel_from_dict(d["k1"]), kernel_from_dict(d["k2"]))
+    if t == "Exponentiation":
+        return bk.Exponentiation(kernel_from_dict(d["kernel"]), d["exponent"])
+    if t == "ConstantKernel":
+        return bk.ConstantKernel(d["value"], _bounds(d["bounds"]))
+    if t == "WhiteKernel":
+        return bk.WhiteKernel(d["value"], _bounds(d["bounds"]))
+    if t == "Matern":
+        v = d["value"]
+        return bk.Matern(
+            tuple(v) if isinstance(v, list) else v,
+            _bounds(d["bounds"]),
+            nu=d["nu"],
+        )
+    if t == "RBF":
+        v = d["value"]
+        return bk.RBF(
+            tuple(v) if isinstance(v, list) else v, _bounds(d["bounds"])
+        )
+    raise TypeError(f"Unknown kernel type {t}")
+
+
+# -- dimension <-> dict ------------------------------------------------------
+
+
+def _dim_to_dict(d) -> dict:
+    if isinstance(d, sp.Real):
+        return {
+            "type": "Real",
+            "low": d.low,
+            "high": d.high,
+            "prior": d.prior,
+            "name": d.name,
+        }
+    if isinstance(d, sp.Integer):
+        return {
+            "type": "Integer",
+            "low": d.low,
+            "high": d.high,
+            "name": d.name,
+        }
+    if isinstance(d, sp.Categorical):
+        return {
+            "type": "Categorical",
+            "categories": d.categories,
+            "name": d.name,
+        }
+    raise TypeError(f"Cannot serialize dimension {d!r}")
+
+
+def _dim_from_dict(d: dict):
+    t = d["type"]
+    if t == "Real":
+        return sp.Real(d["low"], d["high"], prior=d["prior"], name=d["name"])
+    if t == "Integer":
+        return sp.Integer(d["low"], d["high"], name=d["name"])
+    if t == "Categorical":
+        return sp.Categorical(d["categories"], name=d["name"])
+    raise TypeError(f"Unknown dimension type {t}")
+
+
+# -- GPR state ---------------------------------------------------------------
+
+
+def _gpr_state(gp) -> dict:
+    arrays = {}
+    meta = {
+        "alpha": gp.alpha,
+        "normalize_y": gp.normalize_y,
+        "warp_inputs": gp.warp_inputs,
+        "noise": gp.noise,
+        "noise_": gp.noise_,
+        "lml_value": gp.log_marginal_likelihood_value_,
+        "kernel_user": kernel_to_dict(gp._user_kernel),
+        "kernel_fitted": (
+            kernel_to_dict(gp.kernel_) if gp.kernel_ is not None else None
+        ),
+        "y_mean": getattr(gp, "y_train_mean_", 0.0),
+        "y_std": getattr(gp, "y_train_std_", 1.0),
+    }
+    for name in ("chain_", "pos_", "warp_alphas_", "warp_betas_", "_theta"):
+        v = getattr(gp, name)
+        if v is not None:
+            arrays[f"gpr{name}"] = np.asarray(v)
+    if gp._X_orig is not None:
+        arrays["gpr_X"] = gp._X_orig
+        arrays["gpr_y"] = gp._y_orig
+    if gp._noise_vector is not None:
+        arrays["gpr_noise_vector"] = gp._noise_vector
+    return {"meta": meta, "arrays": arrays}
+
+
+def _restore_gpr(gp, meta, arrays):
+    gp.noise_ = meta["noise_"]
+    gp.log_marginal_likelihood_value_ = meta["lml_value"]
+    if meta["kernel_fitted"] is not None:
+        gp.kernel_ = kernel_from_dict(meta["kernel_fitted"])
+    gp.y_train_mean_ = meta["y_mean"]
+    gp.y_train_std_ = meta["y_std"]
+    for name in ("chain_", "pos_", "warp_alphas_", "warp_betas_"):
+        key = f"gpr{name}"
+        if key in arrays:
+            setattr(gp, name, arrays[key])
+    if "gpr_X" in arrays:
+        gp._X_orig = arrays["gpr_X"]
+        gp._y_orig = arrays["gpr_y"]
+        gp._noise_vector = arrays.get("gpr_noise_vector")
+        gp._upload()
+    if "gpr_theta" in arrays or "gpr__theta" in arrays:
+        theta = arrays.get("gpr__theta", arrays.get("gpr_theta"))
+        if gp._X_orig is not None:
+            gp.theta = theta  # triggers posterior refresh
+        else:
+            gp._theta = theta
+    return gp
+
+
+def save_gpr(gp, path: str) -> None:
+    state = _gpr_state(gp)
+    np.savez_compressed(
+        path, __meta__=json.dumps(state["meta"]), **state["arrays"]
+    )
+
+
+def load_gpr(path: str):
+    from ..models.bayesgpr import BayesGPR
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["__meta__"]))
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    gp = BayesGPR(
+        kernel=kernel_from_dict(meta["kernel_user"]),
+        alpha=meta["alpha"],
+        normalize_y=meta["normalize_y"],
+        warp_inputs=meta["warp_inputs"],
+        noise=meta["noise"],
+    )
+    return _restore_gpr(gp, meta, arrays)
+
+
+# -- Optimizer state ---------------------------------------------------------
+
+
+def save_optimizer(opt, path: str) -> None:
+    """Serialize an Optimizer (observations + GP + RNG) to ``path``."""
+    gstate = _gpr_state(opt.gp)
+    acq_name = None
+    for name, fn in __import__(
+        "bask_tpu.optimizer", fromlist=["ACQUISITION_FUNC"]
+    ).ACQUISITION_FUNC.items():
+        if fn is opt.acq_func:
+            acq_name = name
+    meta = {
+        "dimensions": [_dim_to_dict(d) for d in opt.space.dimensions],
+        "n_points": opt.n_points,
+        "n_initial_points": opt.n_initial_points_,
+        "n_initial_remaining": opt._n_initial_points,
+        "init_strategy": opt.init_strategy,
+        "acq_func": acq_name or "pvrs",
+        "acq_func_kwargs": opt.acq_func_kwargs,
+        "Xi": opt.Xi,
+        "yi": opt.yi,
+        "noisei": opt.noisei,
+        "next_x": opt._next_x,
+        "gpr": gstate["meta"],
+    }
+    rng_state = opt.rng.get_state()
+    arrays = dict(gstate["arrays"])
+    arrays["rng_keys"] = rng_state[1]
+    meta["rng"] = [rng_state[0], int(rng_state[2]), int(rng_state[3]), float(rng_state[4])]
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load_optimizer(path: str):
+    """Restore an Optimizer saved by :func:`save_optimizer`."""
+    from ..optimizer import Optimizer
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["__meta__"]))
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+
+    opt = Optimizer(
+        dimensions=[_dim_from_dict(d) for d in meta["dimensions"]],
+        n_points=meta["n_points"],
+        n_initial_points=meta["n_initial_points"],
+        init_strategy=meta["init_strategy"],
+        gp_kernel=kernel_from_dict(meta["gpr"]["kernel_user"]),
+        acq_func=meta["acq_func"],
+        acq_func_kwargs=meta["acq_func_kwargs"],
+    )
+    opt.Xi = [list(x) for x in meta["Xi"]]
+    opt.yi = list(meta["yi"])
+    opt.noisei = list(meta["noisei"])
+    opt._n_initial_points = meta["n_initial_remaining"]
+    opt._next_x = meta["next_x"]
+    rng_meta = meta["rng"]
+    opt.rng.set_state(
+        (rng_meta[0], arrays["rng_keys"], rng_meta[1], rng_meta[2], rng_meta[3])
+    )
+    opt.gp.normalize_y = meta["gpr"]["normalize_y"]
+    opt.gp.warp_inputs = meta["gpr"]["warp_inputs"]
+    _restore_gpr(opt.gp, meta["gpr"], arrays)
+    return opt

@@ -19,10 +19,25 @@ extrapolated linearly — emcee itself is not installed in this image.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: remote TPU compiles take minutes;
+    cached reruns take seconds."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
 
 N_OBS = 500
 N_DIM = 15
