@@ -1,0 +1,17 @@
+.PHONY: test test-fast bench lint clean
+
+test:
+	python -m pytest tests/ -x -q
+
+test-fast:
+	python -m pytest tests/ -x -q -m "not slow"
+
+bench:
+	python bench.py
+
+bench-quick:
+	python bench.py --quick
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
+	rm -rf .pytest_cache

@@ -38,8 +38,25 @@ from .utils.priors import (  # noqa: F401
     guess_priors,
     make_roundflat,
 )
+from .utils.progress import get_progress_bar  # noqa: F401
 from .utils.result import create_result, expected_minimum  # noqa: F401
+from .utils.serialization import (  # noqa: F401
+    load_gpr,
+    load_optimizer,
+    save_gpr,
+    save_optimizer,
+)
 from .utils.validation import validate_zeroone  # noqa: F401
+
+
+def __getattr__(name):
+    # BayesSearchCV pulls in sklearn; import it lazily so the core
+    # library works without scikit-learn installed.
+    if name == "BayesSearchCV":
+        from .searchcv import BayesSearchCV
+
+        return BayesSearchCV
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __version__ = "0.1.0"
 

@@ -104,8 +104,10 @@ def sb_sequence(
             raise ValueError("No more points left to generate.")
 
     n_new = n - len(pts)
-    # Padded buffer keeps the jitted energy shape static across the greedy loop
-    cap = n
+    # Padded buffer keeps the jitted energy shape static across the greedy
+    # loop AND across successive calls with growing n (the BO init phase
+    # calls this once per ask) — bucket the capacity so the jit cache hits.
+    cap = max(16, ((n + 15) // 16) * 16)
     X = np.zeros((cap, d))
     X[: len(pts)] = np.asarray(pts)
     mask = np.zeros(cap, dtype=bool)

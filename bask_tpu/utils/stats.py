@@ -92,9 +92,11 @@ def _silverman_bw(x: np.ndarray) -> float:
     s = np.std(x)
     iqr = np.subtract(*np.percentile(x, [75, 25])) / 1.34
     a = min(s, iqr) if iqr > 0 else s
-    if a == 0:
-        a = max(s, 1e-12)
-    return 0.9 * a * n ** (-0.2)
+    # Floor the bandwidth: optimum samples often sit on a finite candidate
+    # grid, where many coincident values would otherwise collapse the KDE.
+    span = np.ptp(x)
+    floor = max(span * 1e-3, 1e-9)
+    return max(0.9 * a * n ** (-0.2), floor)
 
 
 def _hdi_multimodal(

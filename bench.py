@@ -70,9 +70,14 @@ def bench_tpu():
     import jax.numpy as jnp
 
     from bask_tpu.models import gp as gpc
-    from bask_tpu.ops import kernels as bk
+    from bask_tpu.ops import kernels as bk, linalg
     from bask_tpu.parallel.mcmc import run_ensemble
     from bask_tpu.utils.priors import guess_priors
+
+    # The matmul-only blocked Cholesky beats XLA's native one ~1.7x at
+    # these shapes in-scan (see ops/fast_cholesky.py); opt in for the
+    # benchmark (library default stays "off" to keep user compiles fast).
+    linalg.FAST_CHOLESKY = "auto"
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     X, y = _dataset()

@@ -7,8 +7,11 @@ hyperposterior collection, then mean/uncertainty readout.
 Run:  python examples/fit_gp.py  (add --cpu to force the CPU backend)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if "--cpu" in sys.argv:
     import jax

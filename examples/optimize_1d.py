@@ -7,8 +7,11 @@ end. The true optimum of the objective is near x=0.9554 (y=-1.4734).
 Run:  python examples/optimize_1d.py  (add --cpu to force the CPU backend)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if "--cpu" in sys.argv:
     import jax
