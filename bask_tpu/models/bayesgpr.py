@@ -86,12 +86,50 @@ def _make_log_prob(kernel, priors, warp_prior, n_warp, data):
     return log_prob
 
 
+def _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data):
+    """Batched (W, D) -> (W,) log-probability for the ensemble sampler.
+
+    The prior/warp terms are vmapped (trivial); the LML batch goes
+    through :func:`bask_tpu.ops.linalg.batched_lml`, which fuses the
+    gram construction in a Pallas kernel and uses one batched
+    factorization when the kernel structure allows.
+    """
+    from ..ops.linalg import batched_lml
+
+    n_gp = kernel.n_theta
+
+    def log_prob_batch(xs):
+        theta_gp = xs[:, :n_gp]
+        if n_warp:
+            def prior_one(x):
+                _, la, lb = wp.split_warp_params(x, n_warp)
+                return warp_prior(la, lb)
+
+            lp = jax.vmap(prior_one)(xs)
+            Xb = jax.vmap(
+                lambda x: wp.warp(
+                    data.X, *wp.split_warp_params(x, n_warp)[1:]
+                )
+            )(xs)
+        else:
+            lp = jnp.zeros(xs.shape[0], dtype=xs.dtype)
+            Xb = data.X
+        lp = lp + jax.vmap(lambda t: _eval_priors(priors, t))(theta_gp)
+        lml = batched_lml(
+            kernel, theta_gp, Xb, data.y, data.alpha_diag, data.mask
+        )
+        total = lp + lml
+        return jnp.where(jnp.isfinite(total), total, -jnp.inf)
+
+    return log_prob_batch
+
+
 @partial(
     jax.jit,
     static_argnames=("kernel", "priors", "warp_prior", "n_warp", "n_steps"),
 )
 def _run_chain(kernel, priors, warp_prior, n_warp, data, pos0, key, n_steps):
-    log_prob = _make_log_prob(kernel, priors, warp_prior, n_warp, data)
+    log_prob = _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data)
     return run_ensemble(log_prob, pos0, key, n_steps)
 
 

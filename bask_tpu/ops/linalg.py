@@ -117,10 +117,67 @@ def masked_lml(kernel, theta, X, y, alpha_diag, mask):
 
 
 def batched_lml(kernel, thetas, X, y, alpha_diag, mask):
-    """LML for a batch of thetas: (W, n_theta) -> (W,). One batched Cholesky."""
+    """LML for a batch of thetas: (W, n_theta) -> (W,).
+
+    Fast path: when the kernel matches the fusable
+    ``Constant*(Matern|RBF)[+White]`` structure and shapes/dtype allow,
+    the whole batch's masked grams come from one Pallas kernel
+    (:mod:`bask_tpu.ops.pallas_gram`) and the factorizations from one
+    batched Cholesky. ``X`` may be (n_pad, d) or per-walker
+    (W, n_pad, d) (input warping). Falls back to a vmapped scalar path.
+    """
+    n_pad = X.shape[-2]
+    fusable = (
+        X.dtype == jnp.float32
+        and n_pad % 128 == 0
+        and jax.default_backend() != "cpu"
+    )
+    spec = None
+    if fusable:
+        from .pallas_gram import match_fusable
+
+        spec = match_fusable(kernel)
+    if spec is not None:
+        from .pallas_gram import fused_masked_gram_batch
+
+        n_real = jnp.sum(mask)
+        Kp = fused_masked_gram_batch(spec, thetas, X, alpha_diag, n_real)
+        return batched_lml_from_gram(Kp, y, mask)
+    if X.ndim == 3:
+        return jax.vmap(
+            lambda t, Xi: masked_lml(kernel, t, Xi, y, alpha_diag, mask)
+        )(thetas, X)
     return jax.vmap(lambda t: masked_lml(kernel, t, X, y, alpha_diag, mask))(
         thetas
     )
+
+
+def batched_lml_from_gram(Kp, y, mask):
+    """(B, n, n) masked grams -> (B,) LMLs; one batched factorization."""
+    n = jnp.sum(mask)
+    if _use_fast_path(Kp):
+        from .fast_cholesky import fast_lml_terms
+
+        _, logdiag, quad = fast_lml_terms(Kp, jnp.broadcast_to(y, Kp.shape[:1] + y.shape))
+        lml = -0.5 * quad - logdiag - 0.5 * n * _LOG2PI
+        return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+    L = jnp.linalg.cholesky(Kp)
+    w = solve_triangular(
+        L, jnp.broadcast_to(y, Kp.shape[:1] + y.shape)[..., None], lower=True
+    )[..., 0]
+    lml = (
+        -0.5 * jnp.sum(w * w, axis=-1)
+        - jnp.sum(
+            jnp.where(
+                mask[None, :],
+                jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                0.0,
+            ),
+            axis=-1,
+        )
+        - 0.5 * n * _LOG2PI
+    )
+    return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
 
 
 def augmented_quadform(L, l_cand, d_cand, A_sol, b):

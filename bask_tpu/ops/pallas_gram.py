@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: fused masked Matern/RBF gram construction.
+
+The per-walker gram build is one of the two hot ops of the MCMC loop
+(the other being the batched Cholesky). The XLA path materializes several
+(B, n, n) intermediates (squared distances, scaled distance, polynomial,
+exponential, mask products) through HBM; this kernel computes each
+(walker, tile_i, tile_j) block entirely in VMEM:
+
+    load X_i (T, d), X_j (T, d), walker theta row
+    d2    = |x|^2 + |y|^2 - 2 x y^T          (MXU dot, f32)
+    K     = amplitude * matern_nu(d2)         (VPU transcendentals)
+    K     = mask-fused: zero padded rows/cols, unit padded diagonal,
+            alpha/noise added on the real diagonal
+
+so HBM traffic is one write of the output block and tiny reads.
+
+Only the canonical BO kernel structure is fused —
+``Constant * (Matern|RBF) [+ White]`` (the default kernel family,
+reference ``bask/utils.py:127-151``); anything else falls back to the
+generic kernel-tree evaluation. Structure matching happens at trace time
+(:func:`match_fusable`).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import kernels as bk
+
+__all__ = ["match_fusable", "fused_masked_gram_batch", "FusedSpec"]
+
+_TILE = 128
+
+
+class FusedSpec(NamedTuple):
+    """Trace-time description of a fusable kernel tree."""
+
+    nu: float  # 0.5 / 1.5 / 2.5 / inf (inf = RBF)
+    n_ls: int  # number of lengthscales (1 = isotropic)
+    has_const: bool  # leading ConstantKernel amplitude param
+    has_white: bool  # trailing WhiteKernel noise param
+
+
+def match_fusable(kernel) -> Optional[FusedSpec]:
+    """Match ``Constant * (Matern|RBF) [+ White]`` (free params only)."""
+    base = kernel
+    has_white = False
+    # NB: Product subclasses Sum in the kernel algebra; use exact type.
+    if type(base) is bk.Sum:
+        if not (
+            isinstance(base.k2, bk.WhiteKernel) and base.k2.n_theta == 1
+        ):
+            return None
+        has_white = True
+        base = base.k1
+    has_const = False
+    if type(base) is bk.Product:
+        if not (
+            isinstance(base.k1, bk.ConstantKernel) and base.k1.n_theta == 1
+        ):
+            return None
+        has_const = True
+        base = base.k2
+    if not isinstance(base, bk.RBF) or base.n_theta == 0:
+        return None
+    nu = base.nu if isinstance(base, bk.Matern) else math.inf
+    if nu not in (0.5, 1.5, 2.5, math.inf):
+        return None
+    return FusedSpec(
+        nu=nu, n_ls=base.n_theta, has_const=has_const, has_white=has_white
+    )
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def fused_masked_gram_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real):
+    """Masked grams for a batch of walkers: (B, n_pad, n_pad).
+
+    ``thetas``: (B, n_theta) log-params in the fused layout
+    ``X``: (n_pad, d) shared inputs or (B, n_pad, d) per-walker inputs
+    (the warped case); ``alpha_diag``: (n_pad,) real-point jitter;
+    ``n_real``: scalar int (number of unpadded points).
+
+    The per-walker parameters are pre-exponentiated on the host side of
+    the kernel into one packed row  [amp, noise, 1/ls...]  so the kernel
+    body does only fixed-offset vector reads.
+    """
+    B, _ = thetas.shape
+    if X.ndim == 2:
+        X = jnp.broadcast_to(X[None], (B,) + X.shape)
+    _, n_pad, d = X.shape
+    assert n_pad % _TILE == 0, f"n_pad={n_pad} must be a multiple of {_TILE}"
+    tiles = n_pad // _TILE
+
+    off = 1 if spec.has_const else 0
+    amp = (
+        jnp.exp(thetas[:, 0]) if spec.has_const else jnp.ones(B, thetas.dtype)
+    )
+    noise = (
+        jnp.exp(thetas[:, off + spec.n_ls])
+        if spec.has_white
+        else jnp.zeros(B, thetas.dtype)
+    )
+    inv_ls = jnp.exp(-thetas[:, off : off + spec.n_ls])
+    if spec.n_ls == 1:
+        inv_ls = jnp.broadcast_to(inv_ls, (B, d))
+    packed = jnp.concatenate(
+        [amp[:, None], noise[:, None], inv_ls], axis=1
+    ).astype(jnp.float32)[:, None, :]  # (B, 1, d+2)
+
+    n_real_arr = jnp.asarray(n_real, dtype=jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, tiles, tiles),
+        in_specs=[
+            # (B, 1, d+2) packed params with a (1, 1, d+2) block: the
+            # trailing two block dims equal the array dims, satisfying
+            # the TPU tiling rule for the ragged parameter axis.
+            pl.BlockSpec(
+                (1, 1, d + 2),
+                lambda b, i, j, n: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _TILE, d),
+                lambda b, i, j, n: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _TILE, d),
+                lambda b, i, j, n: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # full-array block: Mosaic requires 1-D operands to keep the
+            # XLA layout; the row tile is sliced inside the kernel
+            pl.BlockSpec(
+                (n_pad,), lambda b, i, j, n: (0,), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _TILE, _TILE),
+            lambda b, i, j, n: (b, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    def body(n_ref, theta_ref, x_ref, y_ref, alpha_ref, out_ref):
+        _gram_tile(spec, n_ref, theta_ref, x_ref, y_ref, alpha_ref, out_ref)
+
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, n_pad), jnp.float32),
+        grid_spec=grid_spec,
+    )(n_real_arr, packed, X, X, alpha_diag)
+
+
+def _gram_tile(spec, n_ref, params_ref, x_ref, y_ref, alpha_ref, out_ref):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    T = _TILE
+
+    row = params_ref[0, 0, :]  # [amp, noise, inv_ls...]
+    amp = row[0]
+    noise = row[1]
+    inv_ls = row[2:]
+
+    Xi = x_ref[0, :, :] * inv_ls[None, :]
+    Xj = y_ref[0, :, :] * inv_ls[None, :]
+    d2 = (
+        jnp.sum(Xi * Xi, axis=1)[:, None]
+        + jnp.sum(Xj * Xj, axis=1)[None, :]
+        - 2.0
+        * jax.lax.dot_general(
+            Xi,
+            Xj,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    )
+    d2 = jnp.maximum(d2, 0.0)
+    if spec.nu == math.inf:
+        K = jnp.exp(-0.5 * d2)
+    else:
+        r = jnp.sqrt(d2 + 1e-36)
+        if spec.nu == 0.5:
+            K = jnp.exp(-r)
+        elif spec.nu == 1.5:
+            s = math.sqrt(3.0) * r
+            K = (1.0 + s) * jnp.exp(-s)
+        else:
+            s = math.sqrt(5.0) * r
+            K = (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+    K = amp * K
+
+    n_real = n_ref[0]
+    rows = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    cols = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    real = (rows < n_real) & (cols < n_real)
+    diag = rows == cols
+    alpha_rows = alpha_ref[pl.ds(i * T, T)]
+    K = jnp.where(real, K, 0.0)
+    diag_val = K + noise + alpha_rows[:, None]
+    K = jnp.where(diag & real, diag_val, K)
+    K = jnp.where(diag & ~real, 1.0, K)
+    out_ref[0, :, :] = K

@@ -39,7 +39,13 @@ class EnsembleState(NamedTuple):
 
 
 def init_ensemble(log_prob_fn: Callable, pos: jnp.ndarray) -> EnsembleState:
-    lp = jax.vmap(log_prob_fn)(pos)
+    """``log_prob_fn`` maps a walker batch (W, D) -> (W,).
+
+    Batched (not per-walker) so implementations can use one fused gram +
+    batched factorization for the whole half-ensemble; wrap a scalar
+    function with ``jax.vmap`` if needed.
+    """
+    lp = log_prob_fn(pos)
     return EnsembleState(
         pos=pos,
         log_prob=lp,
@@ -56,7 +62,7 @@ def _half_update(log_prob_fn, active, lp_active, other, key, a, ndim):
     z = ((a - 1.0) * u + 1.0) ** 2 / a
     anchor = other[partners]  # cross-half gather (all-gather when sharded)
     prop = anchor + z[:, None] * (active - anchor)
-    lp_prop = jax.vmap(log_prob_fn)(prop)
+    lp_prop = log_prob_fn(prop)
     log_ratio = (ndim - 1.0) * jnp.log(z) + lp_prop - lp_active
     accept = jnp.log(jax.random.uniform(k_accept, (h,), dtype=active.dtype)) < log_ratio
     new_active = jnp.where(accept[:, None], prop, active)
@@ -97,6 +103,8 @@ def run_ensemble(
     a: float = 2.0,
 ):
     """Run ``n_steps`` full ensemble steps from ``pos0``.
+
+    ``log_prob_fn`` must be *batched*: (W, D) -> (W,).
 
     Returns ``(chain, final_state)`` with ``chain`` of shape
     (n_steps, W, D) — one sample per walker per step, matching emcee's

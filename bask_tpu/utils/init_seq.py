@@ -123,4 +123,4 @@ def sb_sequence(
         k = int(mask.sum())
         X[k] = x
         mask[k] = True
-    return X.copy()
+    return X[:n].copy()

@@ -97,11 +97,17 @@ def bench_tpu():
     )
     priors = tuple(guess_priors(kernel))
 
-    def log_prob(theta):
+    def _prior_one(theta):
         lp = 0.0
         for i, p in enumerate(priors):
             lp = lp + p(theta[i])
-        lml = gpc.log_marginal_likelihood(kernel, theta, data)
+        return lp
+
+    def log_prob(thetas):  # batched (W, D) -> (W,)
+        lp = jax.vmap(_prior_one)(thetas)
+        lml = linalg.batched_lml(
+            kernel, thetas, data.X, data.y, data.alpha_diag, data.mask
+        )
         tot = lp + lml
         return jnp.where(jnp.isfinite(tot), tot, -jnp.inf)
 

@@ -13,7 +13,7 @@ def _gauss_lp(mean, cov_inv):
         d = x - mean
         return -0.5 * d @ cov_inv @ d
 
-    return lp
+    return jax.vmap(lp)
 
 
 def test_recovers_gaussian_moments():
@@ -33,9 +33,11 @@ def test_recovers_gaussian_moments():
 
 def test_neg_inf_proposals_rejected():
     # Target: standard normal restricted to x0 > 0 (hard constraint via -inf)
-    def lp(x):
+    def lp_one(x):
         base = -0.5 * jnp.sum(x * x)
         return jnp.where(x[0] > 0, base, -jnp.inf)
+
+    lp = jax.vmap(lp_one)
 
     pos0 = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (32, 2))) + 0.1
     chain, final = mcmc.run_ensemble(lp, pos0, jax.random.PRNGKey(3), 300)

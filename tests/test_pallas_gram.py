@@ -1,0 +1,120 @@
+"""Pallas fused-gram kernel parity (interpret mode on CPU) and the
+structure matcher."""
+
+import functools
+from unittest import mock
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.experimental.pallas as pl
+import pytest
+
+from bask_tpu.ops import kernels as bk
+from bask_tpu.ops import linalg
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    import bask_tpu.ops.pallas_gram as pg
+
+    monkeypatch.setattr(
+        pg.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    return pg
+
+
+CASES = [
+    bk.ConstantKernel(1.0, (0.1, 2.0))
+    * bk.Matern((0.3, 0.3, 0.3), (0.05, 2.0), nu=2.5)
+    + bk.WhiteKernel(0.05, (1e-5, 1e5)),
+    bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF((0.4, 0.2, 0.6), (0.05, 2.0)),
+    bk.Matern((0.3, 0.5, 0.2), (0.05, 2.0), nu=1.5),
+    bk.Matern(0.4, (0.05, 2.0), nu=0.5) + bk.WhiteKernel(0.1, (1e-5, 1e5)),
+]
+
+
+def test_match_fusable():
+    from bask_tpu.ops.pallas_gram import match_fusable
+
+    for k in CASES:
+        assert match_fusable(k) is not None
+    # non-fusable structures
+    assert match_fusable(bk.RBF(1.0, "fixed")) is None
+    assert (
+        match_fusable(bk.RBF(1.0, (0.1, 1.0)) * bk.Matern(1.0, (0.1, 1.0)))
+        is None
+    )
+    assert (
+        match_fusable(
+            bk.Exponentiation(bk.RBF(1.0, (0.1, 1.0)), 2.0)
+        )
+        is None
+    )
+
+
+@pytest.mark.parametrize("kernel", CASES)
+def test_fused_gram_matches_generic(kernel, interpret_pallas):
+    pg = interpret_pallas
+    spec = pg.match_fusable(kernel)
+    rng = np.random.RandomState(0)
+    n, n_pad, d, B = 90, 128, 3, 3
+    X = np.full((n_pad, d), 0.5, np.float32)
+    X[:n] = rng.uniform(size=(n, d))
+    alpha = np.full(n_pad, 1e-6, np.float32)
+    mask = np.arange(n_pad) < n
+    thetas = (
+        kernel.theta0[None, :] + 0.2 * rng.randn(B, kernel.n_theta)
+    ).astype(np.float32)
+
+    K_fused = np.asarray(
+        pg.fused_masked_gram_batch(
+            spec, jnp.asarray(thetas), jnp.asarray(X), jnp.asarray(alpha), n
+        )
+    )
+    for b in range(B):
+        K_ref = np.asarray(
+            linalg.masked_gram(
+                kernel,
+                jnp.asarray(thetas[b]),
+                jnp.asarray(X),
+                jnp.asarray(alpha),
+                jnp.asarray(mask),
+            )
+        )
+        # atol 2e-3: for nu=0.5 the kernel slope is unbounded at r=0, so
+        # f32 distance cancellation (inherent to both paths) shows up there
+        np.testing.assert_allclose(K_fused[b], K_ref, rtol=2e-5, atol=2e-3)
+
+
+def test_fused_gram_per_walker_X(interpret_pallas):
+    """Warped case: per-walker inputs (B, n_pad, d)."""
+    pg = interpret_pallas
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
+        (0.3, 0.3), (0.05, 2.0), nu=2.5
+    ) + bk.WhiteKernel(0.05, (1e-5, 1e5))
+    spec = pg.match_fusable(kernel)
+    rng = np.random.RandomState(1)
+    n, n_pad, d, B = 60, 128, 2, 2
+    Xb = np.full((B, n_pad, d), 0.5, np.float32)
+    Xb[:, :n] = rng.uniform(size=(B, n, d))
+    alpha = np.full(n_pad, 1e-6, np.float32)
+    mask = np.arange(n_pad) < n
+    thetas = np.tile(kernel.theta0.astype(np.float32), (B, 1))
+
+    K = np.asarray(
+        pg.fused_masked_gram_batch(
+            spec, jnp.asarray(thetas), jnp.asarray(Xb), jnp.asarray(alpha), n
+        )
+    )
+    for b in range(B):
+        K_ref = np.asarray(
+            linalg.masked_gram(
+                kernel,
+                jnp.asarray(thetas[b]),
+                jnp.asarray(Xb[b]),
+                jnp.asarray(alpha),
+                jnp.asarray(mask),
+            )
+        )
+        np.testing.assert_allclose(K[b], K_ref, rtol=2e-5, atol=2e-5)
