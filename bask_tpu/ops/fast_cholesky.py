@@ -57,8 +57,13 @@ def tri_newton_inv(L, m: int | None = None):
     eye = jnp.eye(m, dtype=L.dtype)
     d = 1.0 / jnp.diagonal(L, axis1=-2, axis2=-1)
     X = eye * d[..., :, None]
-    for _ in range(iters):
-        X = _mm(X, 2.0 * eye - _mm(L, X))
+    # Newton-Schulz is self-correcting: run the early contraction steps
+    # at fast (bf16-pass) matmul precision and only the final two at full
+    # f32 precision — the last exact iterations square away the bf16
+    # residual (|E| ~ 1e-2 -> 1e-4 -> 1e-8).
+    for it in range(iters):
+        mm = _mm if it >= iters - 2 else jnp.matmul
+        X = mm(X, 2.0 * eye - mm(L, X))
     # the iteration preserves lower-triangularity up to rounding; clamp it
     return jnp.tril(X)
 

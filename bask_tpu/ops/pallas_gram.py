@@ -138,10 +138,10 @@ def fused_masked_gram_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real):
                 lambda b, i, j, n: (b, j, 0),
                 memory_space=pltpu.VMEM,
             ),
-            # full-array block: Mosaic requires 1-D operands to keep the
-            # XLA layout; the row tile is sliced inside the kernel
+            # alpha as (n_pad, 1): a (T, 1) block keeps Mosaic's layout
+            # rules happy where 1-D dynamic slices cannot be aligned
             pl.BlockSpec(
-                (n_pad,), lambda b, i, j, n: (0,), memory_space=pltpu.VMEM
+                (_TILE, 1), lambda b, i, j, n: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -158,7 +158,7 @@ def fused_masked_gram_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real):
         body,
         out_shape=jax.ShapeDtypeStruct((B, n_pad, n_pad), jnp.float32),
         grid_spec=grid_spec,
-    )(n_real_arr, packed, X, X, alpha_diag)
+    )(n_real_arr, packed, X, X, alpha_diag[:, None])
 
 
 def _gram_tile(spec, n_ref, params_ref, x_ref, y_ref, alpha_ref, out_ref):
@@ -205,7 +205,7 @@ def _gram_tile(spec, n_ref, params_ref, x_ref, y_ref, alpha_ref, out_ref):
     cols = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     real = (rows < n_real) & (cols < n_real)
     diag = rows == cols
-    alpha_rows = alpha_ref[pl.ds(i * T, T)]
+    alpha_rows = alpha_ref[:, 0]
     K = jnp.where(real, K, 0.0)
     diag_val = K + noise + alpha_rows[:, None]
     K = jnp.where(diag & real, diag_val, K)

@@ -255,6 +255,8 @@ class Optimizer:
             )
 
         if fit and self._n_initial_points <= 0:
+            import time as _time
+
             if (
                 self.gp_priors is not None
                 and not callable(self.gp_priors)
@@ -264,6 +266,7 @@ class Optimizer:
                     "The number of priors does not match the number of "
                     "dimensions + 2."
                 )
+            t_fit = _time.perf_counter()
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
                 common = dict(
@@ -282,6 +285,7 @@ class Optimizer:
                         self.space.transform(self.Xi), self.yi, **common
                     )
 
+            t_acq = _time.perf_counter()
             if self.gp.warp_inputs:
                 X_warped = self.rng.uniform(
                     size=(self.n_points, self.space.transformed_n_dims)
@@ -305,6 +309,19 @@ class Optimizer:
             self._next_x = self.space.inverse_transform(
                 X[np.argmax(acq_values)][None, :]
             )[0]
+            # lightweight per-phase observability (the reference exposes
+            # none, SURVEY.md §5): wall-clock of the MCMC refit and the
+            # acquisition pass for the last tell
+            done = _time.perf_counter()
+            self.last_timings_ = {
+                "gp_fit_s": t_acq - t_fit,
+                "acquisition_s": done - t_acq,
+                "mcmc_acceptance": (
+                    self.gp.n_accepted_ / max(self.gp.n_proposals_, 1)
+                    if hasattr(self.gp, "n_accepted_")
+                    else None
+                ),
+            }
 
         return create_result(
             self.Xi, self.yi, self.space, self.rng, models=[self.gp]
