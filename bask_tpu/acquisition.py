@@ -334,23 +334,43 @@ def evaluate_acquisitions(
     acq_keys = jax.random.split(
         jax.random.PRNGKey(rs.randint(0, 2**31 - 1)), n_samples
     )
+    kwargs_tuple = tuple(sorted(kwargs.items()))
     for i, acq in enumerate(acquisition_functions):
-        if isinstance(acq, UncertaintyAcquisition):
-            if isinstance(acq, MaxValueSearch):
-                fn = jax.vmap(
-                    lambda m, s, k: acq(m, s, key=k, **kwargs)
+        try:
+            if isinstance(acq, UncertaintyAcquisition):
+                vals = _eval_uncertainty(
+                    acq, mu_s, std_s, acq_keys, kwargs_tuple
                 )
-                vals = fn(mu_s, std_s, acq_keys)
+            elif isinstance(acq, SampleAcquisition):
+                vals = _eval_sample(acq, samp_s, kwargs_tuple)
             else:
-                vals = jax.vmap(lambda m, s: acq(m, s, **kwargs))(
-                    mu_s, std_s
-                )
-        elif isinstance(acq, SampleAcquisition):
-            vals = jax.vmap(lambda s: acq(s, **kwargs))(samp_s)
-        else:
-            continue
+                continue
+        except TypeError:  # unhashable kwargs -> eager fallback
+            if isinstance(acq, UncertaintyAcquisition):
+                vals = jax.vmap(
+                    lambda m, s, k: acq(m, s, key=k, **kwargs)
+                )(mu_s, std_s, acq_keys)
+            else:
+                vals = jax.vmap(lambda s: acq(s, **kwargs))(samp_s)
         vals = np.asarray(vals)  # (S, m)
         finite = np.all(np.isfinite(vals), axis=1)
         if finite.any():
             out[i] += vals[finite].sum(axis=0) / n_samples
     return out
+
+
+@partial(jax.jit, static_argnames=("acq", "kwargs_tuple"))
+def _eval_uncertainty(acq, mu_s, std_s, keys, kwargs_tuple):
+    """Jitted per-draw evaluation; acq instances are static (hash by id),
+    so the compile caches across BO iterations. All acquisitions swallow
+    unused kwargs, so the MES ``key`` can be passed uniformly."""
+    kw = dict(kwargs_tuple)
+    return jax.vmap(lambda m, s, k: acq(m, s, key=k, **kw))(
+        mu_s, std_s, keys
+    )
+
+
+@partial(jax.jit, static_argnames=("acq", "kwargs_tuple"))
+def _eval_sample(acq, samp_s, kwargs_tuple):
+    kw = dict(kwargs_tuple)
+    return jax.vmap(lambda s: acq(s, **kw))(samp_s)
