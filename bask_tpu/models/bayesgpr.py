@@ -769,6 +769,53 @@ class BayesGPR:
         )
         return np.asarray(out).T
 
+    def sample_y_pathwise(
+        self,
+        X,
+        n_samples: int = 1,
+        random_state=0,
+        n_features: int = 1024,
+    ):
+        """Scalable posterior draws via pathwise (decoupled) sampling.
+
+        Unlike :meth:`sample_y`, cost is linear in the number of query
+        points (no query-query Cholesky), so tens of thousands of
+        candidates are fine — the Thompson batch-ask path. Uses the
+        consensus GP. Requires the canonical Constant*(Matern|RBF)
+        [+White] kernel family. Returns (n_points, n_samples).
+        """
+        from ..ops.pallas_gram import match_fusable
+        from .pathwise import pathwise_samples
+
+        spec = match_fusable(self.kernel_)
+        if spec is None:
+            raise NotImplementedError(
+                "Pathwise sampling requires a Constant*(Matern|RBF)[+White] "
+                "kernel; use sample_y instead."
+            )
+        if isinstance(random_state, np.random.RandomState):
+            seed = random_state.randint(0, 2**31 - 1)
+        elif random_state is None:
+            seed = self.random_state.randint(0, 2**31 - 1)
+        else:
+            seed = int(random_state)
+        dt = self._dtype()
+        Xq = jnp.asarray(np.atleast_2d(X), dtype=dt)
+        wa, wb, n_warp = self._warp_params()
+        if n_warp:
+            Xq = wp.warp(Xq, wa, wb)
+        out = pathwise_samples(
+            spec,
+            jnp.asarray(self._theta, dtype=dt),
+            self._post_data,
+            self._post.L,
+            Xq,
+            jax.random.PRNGKey(seed),
+            n_samples,
+            n_features,
+        )
+        return np.asarray(out) * self.y_train_std_ + self.y_train_mean_
+
     # -- misc --------------------------------------------------------------
 
     def log_marginal_likelihood(self, theta=None, clone_kernel=True):

@@ -195,11 +195,23 @@ class Optimizer:
         X = self.space.transform(
             self.space.rvs(n_samples=self.n_points, random_state=self.rng)
         )
-        draws = self.gp.sample_y(
-            X,
-            n_samples=n_points,
-            random_state=self.rng.randint(0, np.iinfo(np.int32).max),
-        )  # (n_cand, n_points)
+        seed = self.rng.randint(0, np.iinfo(np.int32).max)
+        if len(X) > 2048:
+            # exact joint draws need an O(m^3) factorization of the
+            # candidate covariance; switch to pathwise sampling, whose
+            # cost is linear in the candidate count
+            try:
+                draws = self.gp.sample_y_pathwise(
+                    X, n_samples=n_points, random_state=seed
+                )
+            except NotImplementedError:
+                draws = self.gp.sample_y(
+                    X, n_samples=n_points, random_state=seed
+                )
+        else:
+            draws = self.gp.sample_y(
+                X, n_samples=n_points, random_state=seed
+            )  # (n_cand, n_points)
         order = np.argsort(draws, axis=0)
         chosen, used = [], set()
         for j in range(n_points):
