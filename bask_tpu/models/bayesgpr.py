@@ -243,6 +243,20 @@ def _predict_grads(
     return jax.vmap(jax.grad(mean_one))(Xq), jax.vmap(jax.grad(std_one))(Xq)
 
 
+@partial(
+    jax.jit, static_argnames=("spec", "n_samples", "n_features", "k")
+)
+def _pathwise_topk(spec, theta, data, L, Xq, key, n_samples, n_features, k):
+    """Pathwise draws + per-draw top-k minimizers, all on device."""
+    from .pathwise import pathwise_samples
+
+    draws = pathwise_samples(
+        spec, theta, data, L, Xq, key, n_samples, n_features
+    )
+    _, idx = jax.lax.top_k(-draws.T, k)  # (S, k)
+    return idx
+
+
 class BayesGPR:
     """Fully-Bayesian Gaussian process regressor (see module docstring).
 
@@ -815,6 +829,54 @@ class BayesGPR:
             n_features,
         )
         return np.asarray(out) * self.y_train_std_ + self.y_train_mean_
+
+    def thompson_argmin_pathwise(
+        self,
+        X,
+        n_samples: int = 1,
+        top_k: int = 8,
+        random_state=0,
+        n_features: int = 1024,
+    ):
+        """Per-draw top-k minimizer indices, computed on device.
+
+        For huge candidate grids the (n_cand, n_samples) draw matrix
+        never leaves the device — only the (n_samples, top_k) index
+        table does. This is the batch-ask hot path.
+        """
+        from ..ops.pallas_gram import match_fusable
+        from .pathwise import pathwise_samples
+
+        spec = match_fusable(self.kernel_)
+        if spec is None:
+            raise NotImplementedError(
+                "Pathwise sampling requires a Constant*(Matern|RBF)[+White] "
+                "kernel."
+            )
+        if isinstance(random_state, np.random.RandomState):
+            seed = random_state.randint(0, 2**31 - 1)
+        elif random_state is None:
+            seed = self.random_state.randint(0, 2**31 - 1)
+        else:
+            seed = int(random_state)
+        dt = self._dtype()
+        Xq = jnp.asarray(np.atleast_2d(X), dtype=dt)
+        wa, wb, n_warp = self._warp_params()
+        if n_warp:
+            Xq = wp.warp(Xq, wa, wb)
+
+        idx = _pathwise_topk(
+            spec,
+            jnp.asarray(self._theta, dtype=dt),
+            self._post_data,
+            self._post.L,
+            Xq,
+            jax.random.PRNGKey(seed),
+            n_samples,
+            n_features,
+            top_k,
+        )
+        return np.asarray(idx)
 
     # -- misc --------------------------------------------------------------
 

@@ -20,7 +20,6 @@ fork's hand-written formulas.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 import jax

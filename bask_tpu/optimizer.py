@@ -199,27 +199,41 @@ class Optimizer:
         if len(X) > 2048:
             # exact joint draws need an O(m^3) factorization of the
             # candidate covariance; switch to pathwise sampling, whose
-            # cost is linear in the candidate count
+            # cost is linear in the candidate count. Top-k selection
+            # happens on device so the (n_cand, n_points) draw matrix
+            # never crosses to the host.
             try:
-                draws = self.gp.sample_y_pathwise(
-                    X, n_samples=n_points, random_state=seed
-                )
+                order = self.gp.thompson_argmin_pathwise(
+                    X,
+                    n_samples=n_points,
+                    top_k=min(max(2 * n_points, 8), len(X)),
+                    random_state=seed,
+                ).T  # (k, n_points)
             except NotImplementedError:
-                draws = self.gp.sample_y(
-                    X, n_samples=n_points, random_state=seed
+                order = np.argsort(
+                    self.gp.sample_y(
+                        X, n_samples=n_points, random_state=seed
+                    ),
+                    axis=0,
                 )
         else:
             draws = self.gp.sample_y(
                 X, n_samples=n_points, random_state=seed
             )  # (n_cand, n_points)
-        order = np.argsort(draws, axis=0)
+            order = np.argsort(draws, axis=0)
         chosen, used = [], set()
         for j in range(n_points):
+            picked = None
             for idx in order[:, j]:
                 if int(idx) not in used:
-                    used.add(int(idx))
-                    chosen.append(int(idx))
+                    picked = int(idx)
                     break
+            if picked is None:  # all of this draw's top-k already taken
+                picked = next(
+                    i for i in range(len(X)) if i not in used
+                )
+            used.add(picked)
+            chosen.append(picked)
         return self.space.inverse_transform(X[chosen])
 
     def tell(
