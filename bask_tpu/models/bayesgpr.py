@@ -135,8 +135,32 @@ def _run_chain(kernel, priors, warp_prior, n_warp, data, pos0, key, n_steps):
 
 @partial(jax.jit, static_argnames=("kernel",))
 def _lml_value_grad(kernel, theta, data):
+    """Value+grad of the LML for the ML-II warm start.
+
+    Always differentiates the plain XLA Cholesky path (never the
+    blocked-matmul fast path): XLA's cholesky has a compact, well-tested
+    gradient, whereas reverse-mode through the Newton-Schulz blocks
+    compiles a very large graph for a one-off warm start.
+    """
+    import math as _math
+
+    from jax.scipy.linalg import solve_triangular as _st
+
+    from ..ops.linalg import masked_cholesky, masked_gram
+
     def f(t):
-        return -gpc.log_marginal_likelihood(kernel, t, data)
+        Kp = masked_gram(kernel, t, data.X, data.alpha_diag, data.mask)
+        L = masked_cholesky(Kp)
+        w = _st(L, data.y, lower=True)
+        n = jnp.sum(data.mask)
+        lml = (
+            -0.5 * jnp.dot(w, w)
+            - jnp.sum(
+                jnp.where(data.mask, jnp.log(jnp.diagonal(L)), 0.0)
+            )
+            - 0.5 * n * _math.log(2.0 * _math.pi)
+        )
+        return -jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
 
     return jax.value_and_grad(f)(theta)
 
@@ -464,8 +488,17 @@ class BayesGPR:
             )
         best_t, best_v = None, np.inf
         for t0 in starts:
+            # The ML-II optimum is only the chain's starting point
+            # (reference docstring, bask/bayesgpr.py:78-79); cap the
+            # iteration count — every objective call is a device
+            # round-trip, and the MCMC replaces the estimate anyway.
             res = minimize(
-                obj, t0, jac=True, method="L-BFGS-B", bounds=bounds
+                obj,
+                t0,
+                jac=True,
+                method="L-BFGS-B",
+                bounds=bounds,
+                options={"maxiter": 60},
             )
             if res.fun < best_v:
                 best_t, best_v = res.x, res.fun
