@@ -43,10 +43,13 @@ def _factor_diag_block(D):
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
 
+    eye_mask = rows == cols
+
     # Masked formulation: iterate k = 0..nb-1 with static shapes
     def body(k, D):
-        # pivot d = sqrt(D[:, k, k])
-        diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (W, nb)
+        # pivot d = sqrt(D[:, k, k]) — 3-D diagonal via mask (Mosaic has
+        # no >2-D gather)
+        diag = jnp.sum(jnp.where(eye_mask[None], D, 0.0), axis=2)  # (W, nb)
         onehot_k = (jax.lax.broadcasted_iota(jnp.int32, (nb,), 0) == k)
         d = jnp.sqrt(jnp.sum(jnp.where(onehot_k[None, :], diag, 0.0), axis=1))
         # column k, scaled below the pivot
@@ -73,7 +76,7 @@ def _tri_inv_newton(L):
     """Exact inverse of (W, NB, NB) lower-triangular tiles (MXU)."""
     W, nb, _ = L.shape
     eye = jnp.eye(nb, dtype=L.dtype)
-    d = 1.0 / jnp.diagonal(L, axis1=-2, axis2=-1)
+    d = 1.0 / jnp.sum(jnp.where((eye > 0)[None], L, 0.0), axis=2)
     X = eye[None] * d[:, :, None]
     iters = max(1, math.ceil(math.log2(nb)))
     for _ in range(iters):

@@ -114,13 +114,15 @@ def bench_tpu():
     rng = np.random.RandomState(1)
     pos0 = jnp.asarray(_init_positions(kernel.n_theta, rng), dtype=dtype)
 
-    # warmup/compile with the SAME static n_steps as the timed run
+    # warmup/compile with the SAME static n_steps as the timed run.
+    # NB: sync via a scalar host fetch — jax.block_until_ready does NOT
+    # reliably wait on the axon remote backend.
     chain, final = run_ensemble(log_prob, pos0, jax.random.PRNGKey(0), N_STEPS)
-    jax.block_until_ready(chain)
+    float(final.log_prob[0])
 
     t0 = time.perf_counter()
     chain, final = run_ensemble(log_prob, pos0, jax.random.PRNGKey(1), N_STEPS)
-    jax.block_until_ready(chain)
+    float(final.log_prob[0])
     elapsed = time.perf_counter() - t0
 
     acc = float(final.accepted) / (N_STEPS * N_WALKERS)
