@@ -74,10 +74,12 @@ def bench_tpu():
     from bask_tpu.parallel.mcmc import run_ensemble
     from bask_tpu.utils.priors import guess_priors
 
-    # The matmul-only blocked Cholesky beats XLA's native one ~1.7x at
-    # these shapes in-scan (see ops/fast_cholesky.py); opt in for the
-    # benchmark (library default stays "off" to keep user compiles fast).
-    linalg.FAST_CHOLESKY = "auto"
+    # Factorization variant: the blocked-matmul Cholesky and XLA's native
+    # one measure within a few percent at these shapes (see STATUS.md);
+    # BENCH_FAST=0 switches to the plain XLA path.
+    linalg.FAST_CHOLESKY = (
+        "off" if os.environ.get("BENCH_FAST") == "0" else "auto"
+    )
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     X, y = _dataset()
