@@ -29,7 +29,6 @@ import numpy as np
 
 from .models import gp as gpc
 from .models import warping as wpm
-from .models.bayesgpr import _posterior_robust
 from .ops.linalg import augmented_quadform
 from .utils.stats import norm_cdf, norm_logcdf, norm_pdf
 
@@ -261,7 +260,12 @@ def _per_draw_predictions(
             Xq = wpm.warp(X, la, lb)
         else:
             theta_gp, d, Xq = x, data, X
-        post = _posterior_robust(kernel, theta_gp, d)
+        # plain single-Cholesky posterior: a non-PD draw yields NaNs,
+        # which the dispatcher's finite filter drops (same semantics as
+        # the reference skipping non-finite acquisition outputs,
+        # bask/acquisition.py:140-141) — no need for the 3-rung robust
+        # ladder here, it would triple the batched factorization cost
+        post = gpc.posterior(kernel, theta_gp, d)
         theta_nf = gpc.noise_free_theta(kernel, theta_gp, white_idx)
         mu, std = gpc.predict(
             kernel, theta_nf, post, d, Xq, return_std=True

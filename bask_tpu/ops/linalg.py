@@ -40,15 +40,14 @@ __all__ = [
 
 _LOG2PI = math.log(2.0 * math.pi)
 
-# The matmul-only blocked Cholesky (see fast_cholesky.py) is an
-# alternative factorization kept for experimentation. Measured inside a
-# lax.scan on TPU v5e, XLA's native batched Cholesky runs at ~0.3ms for a
-# (50, 512, 512) batch — faster than the blocked-matmul formulation at
-# full f32 precision (6.8ms), so the default is "off". (Standalone
-# dispatch measurements that suggested XLA's Cholesky was slow were
-# dominated by per-call dispatch latency, which the scan amortizes.)
+# The matmul-only blocked Cholesky (see fast_cholesky.py) is the default
+# float32 hot path for large padded grams: in the full MCMC program it
+# runs the north-star bench at 2.61s vs 4.54s with XLA's native
+# cholesky+triangular-solve (the matmul-only forward solve avoids the
+# latency-bound batched substitution). float64 / small problems stay on
+# the (bit-accurate vs LAPACK) XLA factorization.
 # Override: "on" / "off" / "auto" (auto = on for f32 when shapes allow).
-FAST_CHOLESKY = "off"
+FAST_CHOLESKY = "auto"
 
 
 def _use_fast_path(Kp) -> bool:
