@@ -45,14 +45,14 @@ __all__ = ["BayesGPR"]
 
 
 def _bucket(n: int) -> int:
-    """Padding bucket: small powers of two, then multiples of 64."""
-    if n <= 16:
-        return 16
-    if n <= 32:
-        return 32
-    if n <= 64:
-        return 64
-    return ((n + 63) // 64) * 64
+    """Padding bucket: 64 minimum, then multiples of 64.
+
+    A 64x64 factorization costs microseconds, but every bucket change
+    recompiles the jitted chain/acquisition programs — and remote TPU
+    compiles cost minutes. Starting at 64 means a typical BO loop
+    (10-60 observations) compiles exactly one set of programs.
+    """
+    return max(64, ((n + 63) // 64) * 64)
 
 
 # ---------------------------------------------------------------------------
