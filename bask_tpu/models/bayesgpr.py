@@ -425,7 +425,13 @@ class BayesGPR:
         Xp[:n] = self._X_orig
         yp = np.zeros(n_pad)
         yp[:n] = (self._y_orig - self.y_train_mean_) / self.y_train_std_
-        alpha = np.full(n_pad, self.alpha, dtype=float)
+        # float32 cannot represent the reference's 1e-10 jitter against a
+        # unit-scale gram; floor it so near-noise-free problems factor
+        # instead of rejecting every MCMC move
+        base_alpha = self.alpha
+        if dt == jnp.float32:
+            base_alpha = max(base_alpha, 1e-6)
+        alpha = np.full(n_pad, base_alpha, dtype=float)
         if self._noise_vector is not None:
             nv = np.zeros(n)
             nv[: len(self._noise_vector)] += self._noise_vector
