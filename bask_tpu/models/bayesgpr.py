@@ -876,15 +876,21 @@ class BayesGPR:
         top_k: int = 8,
         random_state=0,
         n_features: int = 1024,
+        sample_mean: bool = True,
     ):
         """Per-draw top-k minimizer indices, computed on device.
 
         For huge candidate grids the (n_cand, n_samples) draw matrix
         never leaves the device — only the (n_samples, top_k) index
         table does. This is the batch-ask hot path.
+
+        ``sample_mean=True`` draws from the consensus GP;
+        ``sample_mean=False`` gives each draw its own hyperposterior
+        chain row (kernel theta + warp params), matching the reference's
+        per-draw ``sample_y`` semantics at pathwise cost.
         """
         from ..ops.pallas_gram import match_fusable
-        from .pathwise import pathwise_samples
+        from .pathwise import pathwise_topk_hyper
 
         spec = match_fusable(self.kernel_)
         if spec is None:
@@ -900,18 +906,35 @@ class BayesGPR:
             seed = int(random_state)
         dt = self._dtype()
         Xq = jnp.asarray(np.atleast_2d(X), dtype=dt)
-        wa, wb, n_warp = self._warp_params()
-        if n_warp:
-            Xq = wp.warp(Xq, wa, wb)
-
-        idx = _pathwise_topk(
+        n_warp = self._X_orig.shape[1] if self.warp_inputs else 0
+        if sample_mean:
+            wa, wb, nw = self._warp_params()
+            if nw:
+                Xq = wp.warp(Xq, wa, wb)
+            idx = _pathwise_topk(
+                spec,
+                jnp.asarray(self._theta, dtype=dt),
+                self._post_data,
+                self._post.L,
+                Xq,
+                jax.random.PRNGKey(seed),
+                n_samples,
+                n_features,
+                top_k,
+            )
+            return np.asarray(idx)
+        rs = np.random.RandomState(seed)
+        rows = jnp.asarray(
+            self.chain_[rs.choice(len(self.chain_), n_samples, replace=True)],
+            dtype=dt,
+        )
+        idx = pathwise_topk_hyper(
             spec,
-            jnp.asarray(self._theta, dtype=dt),
-            self._post_data,
-            self._post.L,
+            rows,
+            self._data,
             Xq,
             jax.random.PRNGKey(seed),
-            n_samples,
+            n_warp,
             n_features,
             top_k,
         )

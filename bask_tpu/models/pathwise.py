@@ -107,23 +107,127 @@ def pathwise_samples(
         L.T, solve_triangular(L, resid, lower=True), lower=False
     )
 
-    # noise-free cross-covariance k(Xq, X): White contributes nothing
+    Kq = _cross_kernel(spec, theta, Xq, data.X) * data.mask[None, :]
+    return f0_query + Kq @ v
+
+
+def _cross_kernel(spec: FusedSpec, theta, Xq, X):
+    """Noise-free cross covariance k(Xq, X) for the fused family (White
+    contributes nothing off-diagonal)."""
     from ..ops import kernels as bk  # local import to avoid cycle
 
-    if math.isinf(spec.nu):
-        base = bk.RBF(1.0, (1e-5, 1e5))
-    else:
-        base = bk.Matern(1.0, (1e-5, 1e5), nu=spec.nu)
+    off = 1 if spec.has_const else 0
+    amp = jnp.exp(theta[0]) if spec.has_const else jnp.asarray(1.0, Xq.dtype)
     ls_theta = theta[off : off + spec.n_ls]
-    if spec.n_ls == 1:
-        Kq = amp * base.eval(ls_theta, Xq, data.X)
+    ls_init = 1.0 if spec.n_ls == 1 else tuple([1.0] * spec.n_ls)
+    if math.isinf(spec.nu):
+        base = bk.RBF(ls_init, (1e-5, 1e5))
     else:
-        base = (
-            bk.Matern(tuple([1.0] * spec.n_ls), (1e-5, 1e5), nu=spec.nu)
-            if not math.isinf(spec.nu)
-            else bk.RBF(tuple([1.0] * spec.n_ls), (1e-5, 1e5))
-        )
-        Kq = amp * base.eval(ls_theta, Xq, data.X)
-    Kq = Kq * data.mask[None, :]
+        base = bk.Matern(ls_init, (1e-5, 1e5), nu=spec.nu)
+    return amp * base.eval(ls_theta, Xq, X)
 
-    return f0_query + Kq @ v
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "n_warp", "n_features", "k"),
+)
+def pathwise_topk_hyper(
+    spec: FusedSpec,
+    rows,
+    data,
+    Xq,
+    key,
+    n_warp: int,
+    n_features: int = 1024,
+    k: int = 8,
+):
+    """Hyperposterior-marginal Thompson top-k over huge candidate grids.
+
+    Each of the S draws uses its own chain row (kernel theta + warp
+    params), matching the reference's per-draw `sample_y` semantics
+    (``bask/bayesgpr.py:679-710``) at pathwise cost: one batched
+    factorization for all rows, then a `lax.scan` over draws that builds
+    each draw's cross-kernel on the fly and reduces straight to its
+    top-k minimizer indices — the (n_q, S) draw matrix is never
+    materialized.
+
+    ``rows``: (S, n_theta [+ 2*n_warp]); returns (S, k) int32 indices.
+    """
+    from ..models import warping as wpm
+    from ..ops.pallas_gram import fused_masked_gram_batch
+
+    S = rows.shape[0]
+    n_gp = rows.shape[1] - 2 * n_warp
+    thetas = rows[:, :n_gp]
+    n_real = jnp.sum(data.mask)
+
+    if n_warp:
+        Xb = jax.vmap(
+            lambda x: wpm.warp(data.X, *wpm.split_warp_params(x, n_warp)[1:])
+        )(rows)
+    else:
+        Xb = data.X
+
+    n_pad = data.X.shape[0]
+    if Xq.dtype == jnp.float32 and n_pad % 128 == 0:
+        Kp = fused_masked_gram_batch(
+            spec, thetas, Xb, data.alpha_diag, n_real
+        )
+    else:
+        if n_warp:
+            Kp = jax.vmap(
+                lambda t, Xi: _fused_spec_gram(spec, t, Xi, data)
+            )(thetas, Xb)
+        else:
+            Kp = jax.vmap(
+                lambda t: _fused_spec_gram(spec, t, data.X, data)
+            )(thetas)
+    L = jnp.linalg.cholesky(Kp)  # (S, n_pad, n_pad)
+
+    keys = jax.random.split(key, S)
+
+    def x_q_for(row):
+        if n_warp:
+            _, la, lb = wpm.split_warp_params(row, n_warp)
+            return wpm.warp(Xq, la, lb)
+        return Xq
+
+    def one(_, inp):
+        theta_s, L_s, key_s, x_s = inp
+        d_s = data._replace(X=x_s)
+        draws = pathwise_samples(
+            spec,
+            theta_s[:n_gp],
+            d_s,
+            L_s,
+            x_q_for(theta_s),
+            key_s,
+            1,
+            n_features,
+        )[:, 0]
+        _, idx = jax.lax.top_k(-draws, k)
+        return None, idx
+
+    Xb_scan = (
+        Xb if n_warp else jnp.broadcast_to(data.X, (S,) + data.X.shape)
+    )
+    _, idx = jax.lax.scan(one, None, (rows, L, keys, Xb_scan))
+    return idx
+
+
+def _fused_spec_gram(spec, theta, X, data):
+    """Masked gram via the generic kernel tree for the fused family."""
+    from ..ops import kernels as bk
+    from ..ops.linalg import masked_gram
+
+    ls_init = 1.0 if spec.n_ls == 1 else tuple([1.0] * spec.n_ls)
+    if math.isinf(spec.nu):
+        base = bk.RBF(ls_init, (1e-5, 1e5))
+    else:
+        base = bk.Matern(ls_init, (1e-5, 1e5), nu=spec.nu)
+    kernel = base
+    if spec.has_const:
+        kernel = bk.ConstantKernel(1.0, (1e-5, 1e5)) * kernel
+    if spec.has_white:
+        kernel = kernel + bk.WhiteKernel(1.0, (1e-5, 1e5))
+    return masked_gram(kernel, theta, X, data.alpha_diag, data.mask)

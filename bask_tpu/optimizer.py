@@ -208,6 +208,8 @@ class Optimizer:
                     n_samples=n_points,
                     top_k=min(max(2 * n_points, 8), len(X)),
                     random_state=seed,
+                    sample_mean=False,  # hyperposterior-marginal draws,
+                    # matching the exact path's semantics
                 ).T  # (k, n_points)
             except NotImplementedError:
                 order = np.argsort(
