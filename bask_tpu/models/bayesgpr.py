@@ -512,6 +512,20 @@ class BayesGPR:
 
     # -- sampling ----------------------------------------------------------
 
+    def _adapt_warp_priors(self, pair):
+        cache = getattr(self, "_warp_prior_cache", None)
+        if cache is not None and cache[0] == pair:
+            return cache[1]
+        a_prior, b_prior = pair
+
+        def warp_prior(log_alphas, log_betas):
+            return jnp.sum(
+                jax.vmap(a_prior)(log_alphas)
+            ) + jnp.sum(jax.vmap(b_prior)(log_betas))
+
+        self._warp_prior_cache = (pair, warp_prior)
+        return warp_prior
+
     def _resolve_priors(self, priors):
         if priors is None:
             if self._priors_cache is None:
@@ -560,6 +574,11 @@ class BayesGPR:
         priors = self._resolve_priors(priors)
         if warp_priors is None:
             warp_priors = wp.default_warp_log_prior
+        elif isinstance(warp_priors, (tuple, list)):
+            # reference-style pair of per-parameter logpdfs
+            # (bask/bayesgpr.py:360-365); adapt to the (alphas, betas)
+            # callable convention, caching by identity for jit stability
+            warp_priors = self._adapt_warp_priors(tuple(warp_priors))
 
         n_gp_dim = self.kernel_.n_theta
         n_warp = self._X_orig.shape[1] if self.warp_inputs else 0
