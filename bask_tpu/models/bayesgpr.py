@@ -550,6 +550,7 @@ class BayesGPR:
         warp_priors=None,
         position=None,
         add: bool = False,
+        mesh=None,
         **kwargs,
     ):
         """Sample the kernel-hyperparameter posterior on device.
@@ -558,6 +559,11 @@ class BayesGPR:
         warm start from ``pos_`` when available, collect
         ``ceil(n_desired_samples / n_walkers)`` post-burnin steps, set
         the consensus model at the geometric median of the chain.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` with a single axis — the
+        walker ensemble is sharded across it (data-parallel LML; the
+        stretch move's complementary-half gather becomes the only
+        collective). Results are identical to the unsharded run.
         """
         if (X is None and self._X_orig is None) or self.kernel_ is None:
             raise ValueError(
@@ -606,13 +612,18 @@ class BayesGPR:
 
         dt = self._dtype()
         key = jax.random.PRNGKey(self.random_state.randint(0, 2**31 - 1))
+        pos_dev = jnp.asarray(pos, dtype=dt)
+        if mesh is not None:
+            from ..parallel.mesh import shard_walkers
+
+            pos_dev = shard_walkers(pos_dev, mesh, axis=mesh.axis_names[0])
         chain_dev, final = _run_chain(
             self.kernel_,
             priors,
             warp_priors,
             n_warp,
             self._data,
-            jnp.asarray(pos, dtype=dt),
+            pos_dev,
             key,
             n_steps,
         )

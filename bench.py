@@ -130,7 +130,35 @@ def bench_tpu():
     acc = float(final.accepted) / (N_STEPS * N_WALKERS)
     assert np.isfinite(np.asarray(final.log_prob)).all(), "chain diverged"
     assert 0.05 < acc < 0.99, f"implausible acceptance rate {acc}"
-    return elapsed, acc
+
+    # acquisition throughput: EI marginalized over 100 hyperposterior
+    # thetas on a 512-point candidate grid (the other driver metric)
+    from bask_tpu.acquisition import _per_draw_predictions, ExpectedImprovement
+
+    rows = jnp.asarray(
+        np.asarray(chain[-1])[:100, :], dtype=dtype
+    )  # 100 walker thetas
+    Xc = jnp.asarray(
+        np.random.RandomState(3).uniform(size=(512, N_DIM)), dtype=dtype
+    )
+    kacq = jax.random.PRNGKey(0)
+
+    def acq_pass():
+        mu, std, _ = _per_draw_predictions(
+            kernel, rows, data, Xc, kacq, 0, kernel.n_theta - 1, False
+        )
+        ei = ExpectedImprovement()
+        vals = jax.vmap(lambda m, s: ei(m, s))(mu, std)
+        return vals
+
+    v = acq_pass()
+    float(v[0, 0])  # compile+sync
+    t0 = time.perf_counter()
+    v = acq_pass()
+    float(v[0, 0])
+    acq_elapsed = time.perf_counter() - t0
+    acq_evals_per_s = 100 * 512 / acq_elapsed
+    return elapsed, acc, acq_evals_per_s
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +219,7 @@ def main():
     if quick:
         N_STEPS = 20
 
-    tpu_time, acc = bench_tpu()
+    tpu_time, acc, acq_rate = bench_tpu()
     cpu_time = bench_cpu_reference()
     speedup = cpu_time / tpu_time
 
@@ -206,6 +234,7 @@ def main():
                     "cpu_reference_extrapolated_s": round(cpu_time, 1),
                     "acceptance_rate": round(acc, 3),
                     "n_steps": N_STEPS,
+                    "acquisition_evals_per_s": round(acq_rate),
                 },
             }
         )
