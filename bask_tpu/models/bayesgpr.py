@@ -27,7 +27,7 @@ from __future__ import annotations
 import math
 from contextlib import contextmanager
 from functools import partial
-from typing import Iterable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

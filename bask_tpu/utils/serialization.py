@@ -11,7 +11,6 @@ production TPU jobs.
 
 from __future__ import annotations
 
-import io
 import json
 
 import numpy as np
