@@ -387,6 +387,21 @@ class BayesGPR:
         return np.asarray(self._post.alpha_dual)[: len(self._y_orig)]
 
     @property
+    def K_inv_(self):
+        """Inverse of the (noisy) training gram, unpadded.
+
+        The reference keeps this as mutable state
+        (``bask/bayesgpr.py:207-208``); here it is derived on demand
+        from the Cholesky factor.
+        """
+        if self._post is None:
+            return None
+        n = len(self._y_orig)
+        L = np.asarray(self._post.L)[:n, :n]
+        L_inv = np.linalg.solve(L, np.eye(n))
+        return L_inv.T @ L_inv
+
+    @property
     def white_index_(self):
         if self.kernel_ is None:
             return None
