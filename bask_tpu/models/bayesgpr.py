@@ -126,11 +126,15 @@ def _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data):
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "priors", "warp_prior", "n_warp", "n_steps"),
+    static_argnames=(
+        "kernel", "priors", "warp_prior", "n_warp", "n_steps", "a"
+    ),
 )
-def _run_chain(kernel, priors, warp_prior, n_warp, data, pos0, key, n_steps):
+def _run_chain(
+    kernel, priors, warp_prior, n_warp, data, pos0, key, n_steps, a=2.0
+):
     log_prob = _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data)
-    return run_ensemble(log_prob, pos0, key, n_steps)
+    return run_ensemble(log_prob, pos0, key, n_steps, a=a)
 
 
 @partial(jax.jit, static_argnames=("kernel",))
@@ -641,6 +645,8 @@ class BayesGPR:
             pos_dev,
             key,
             n_steps,
+            a=float(kwargs.get("a", 2.0)),  # stretch-move scale (the
+            # reference forwards sampler kwargs to emcee similarly)
         )
         flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
         if add and self.chain_ is not None:
