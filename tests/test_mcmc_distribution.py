@@ -10,6 +10,10 @@ import scipy.stats as st
 from bask_tpu.parallel import mcmc
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_ks_gamma_target():
     a, scale = 3.0, 0.7
 

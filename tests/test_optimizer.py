@@ -133,6 +133,7 @@ def test_probability_of_optimality_thresholds_monotone(fitted_opt):
     assert probs[0] > 0.95
 
 
+@pytest.mark.slow
 def test_expected_optimality_gap(fitted_opt):
     gap = fitted_opt.expected_optimality_gap(
         random_state=1,

@@ -11,6 +11,7 @@ from bask_tpu.searchcv import BayesSearchCV
 from bask_tpu.space import Categorical, Integer, Real
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("return_policy", ["best_setting", "best_mean"])
 def test_searchcv_run(return_policy):
     X, y = load_iris(return_X_y=True)
