@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["cholesky_vmem", "WPB"]
 
 _NB = 128
-WPB = 4  # walkers per program: WPB * n^2 * 4B must fit VMEM with headroom
+WPB = 8  # walkers per program: WPB * n^2 * 4B must fit VMEM with headroom
+# (in/out are aliased, so one (WPB, n, n) buffer + temporaries)
 
 
 def _factor_diag_block(D):
@@ -163,5 +164,6 @@ def cholesky_vmem(K):
         out_specs=pl.BlockSpec(
             (WPB, n, n), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
         ),
+        input_output_aliases={0: 0},  # factor in place: halves VMEM
     )(K)
     return out[:B]
