@@ -94,10 +94,13 @@ def _chol_vec(A):  # pragma: no cover - thin wrapper
 
 
 def pick_nb(n: int) -> int:
-    """Largest panel width in {256, 128, 64} dividing n (measured fastest
-    at 256 for n=512: fewer block steps outweigh the bigger Newton
-    inverses)."""
-    for nb in (256, 128, 64):
+    """Panel width in {128, 64} dividing n.
+
+    nb=256 measures ~9% faster standalone at n=512 but ~12% slower
+    inside the full MCMC step (it competes with the fused gram kernel
+    for VMEM/scheduling), so 128 is the default.
+    """
+    for nb in (128, 64):
         if n % nb == 0 or n <= nb:
             return nb
     return 64
