@@ -179,10 +179,18 @@ def sample_y(
     key,
     n_samples: int = 1,
 ):
-    """Draw joint samples from the predictive distribution: (m, n_samples)."""
+    """Draw joint samples from the predictive distribution: (m, n_samples).
+
+    Uses an eigendecomposition factor: posterior covariances over dense
+    query grids are rank-deficient (rank <= n_train), where a Cholesky
+    needs jitter large enough (especially in float32) to visibly inflate
+    the draws. ``sqrt(max(eigvals, 0))`` is exact for PSD matrices with
+    no added noise; NaN inputs still propagate to NaN draws.
+    """
     mean, cov = predict(
         kernel, theta_diag, post, data, Xq, return_cov=True
     )
-    Lc = chol_with_fallback(cov)
+    evals, evecs = jnp.linalg.eigh(cov)
+    factor = evecs * jnp.sqrt(jnp.maximum(evals, 0.0))[None, :]
     z = jax.random.normal(key, (Xq.shape[0], n_samples), dtype=cov.dtype)
-    return mean[:, None] + Lc @ z
+    return mean[:, None] + factor @ z
