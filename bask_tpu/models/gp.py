@@ -38,7 +38,6 @@ __all__ = [
     "predict_mean",
     "sample_y",
     "noise_free_theta",
-    "chol_with_fallback",
 ]
 
 
@@ -147,27 +146,6 @@ def predict(
     var = kernel.diag(theta_diag, Xq) - jnp.sum(v * v, axis=0)
     var = jnp.maximum(var, 0.0)
     return mean, jnp.sqrt(var) * data.y_std
-
-
-def chol_with_fallback(cov):
-    """Cholesky with NaN-triggered jitter fallbacks (branchless).
-
-    Posterior covariances over dense query grids are rank-deficient
-    (rank <= n_train), so escalating jitter rungs are tried; the last
-    resort is the diagonal factor (independent marginals), which is
-    always finite — a joint draw degraded to marginals beats NaNs
-    poisoning downstream argmins.
-    """
-    n = cov.shape[0]
-    scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(cov))), 1e-12)
-    eye = jnp.eye(n, dtype=cov.dtype)
-    L0 = jnp.linalg.cholesky(cov + 1e-9 * scale * eye)
-    L1 = jnp.linalg.cholesky(cov + 1e-5 * scale * eye)
-    L2 = jnp.linalg.cholesky(cov + 1e-2 * scale * eye)
-    Ld = jnp.diag(jnp.sqrt(jnp.maximum(jnp.diagonal(cov), 0.0)))
-    out = jnp.where(jnp.any(jnp.isnan(L2)), Ld, L2)
-    out = jnp.where(jnp.any(jnp.isnan(L1)), out, L1)
-    return jnp.where(jnp.any(jnp.isnan(L0)), out, L0)
 
 
 def sample_y(
