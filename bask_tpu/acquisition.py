@@ -119,7 +119,9 @@ class LCB(UncertaintyAcquisition):
     """Lower confidence bound; ``alpha="inf"`` reduces to pure exploration."""
 
     def __call__(self, mu, std, *args, alpha=1.96, **kwargs):
-        if isinstance(alpha, str):
+        if alpha == "inf":  # exact match, as in the reference
+            # (bask/acquisition.py:213-216); other strings fall through
+            # to the arithmetic and raise, same as upstream
             return std
         return alpha * std - mu
 

@@ -208,7 +208,12 @@ def _sample_y_marginal(
             Xq_w = wp.warp(Xq, la, lb)
         else:
             theta_gp, d, Xq_w = x, data, Xq
-        post = _posterior_robust(kernel, theta_gp, d)
+        # single-Cholesky posterior (not the 3-rung jitter ladder): chain
+        # rows are post-burnin posterior samples, so non-PD grams are
+        # vanishingly rare, and the ladder would triple the batched
+        # factorization cost of every diagnostics/PVRS draw (the
+        # acquisition path makes the same trade, acquisition.py)
+        post = gpc.posterior(kernel, theta_gp, d)
         theta_diag = (
             theta_gp
             if include_noise
@@ -744,6 +749,24 @@ class BayesGPR:
         finally:
             self._noise_zero = prev
 
+    def _check_fitted(self):
+        """Raise a clear error on an unfitted model.
+
+        Deviation from the sklearn GPR base (which predicts from the
+        prior when unfitted, reference inherits it at
+        ``bask/bayesgpr.py:622``): a fully-Bayesian GP has no chain to
+        marginalize before fitting, so we fail loudly instead —
+        documented in PARITY.md.
+        """
+        if self._post is None or self._theta is None:
+            from sklearn.exceptions import NotFittedError
+
+            raise NotFittedError(
+                "This BayesGPR instance is not fitted yet; call fit(X, y) "
+                "before predict/sample_y. (Prior prediction without a fit "
+                "is not supported — see PARITY.md.)"
+            )
+
     def _theta_diag(self):
         t = jnp.asarray(self._theta, dtype=self._dtype())
         if self._noise_zero:
@@ -769,6 +792,7 @@ class BayesGPR:
         return_mean_grad: bool = False,
         return_std_grad: bool = False,
     ):
+        self._check_fitted()
         X = jnp.asarray(np.atleast_2d(X), dtype=self._dtype())
         if self.warp_inputs:
             from ..utils.validation import validate_zeroone
@@ -829,6 +853,7 @@ class BayesGPR:
         (reference ``bask/bayesgpr.py:637-718``) — here vmapped into one
         fused pass instead of a Python loop.
         """
+        self._check_fitted()
         if isinstance(random_state, np.random.RandomState):
             seed = random_state.randint(0, 2**31 - 1)
         elif random_state is None:

@@ -423,12 +423,20 @@ def white_theta_index(kernel):
 
     Mirrors ``_param_for_white_kernel_in_Sum`` (used by the reference's
     ``noise_set_to_zero``, ``bask/bayesgpr.py:318-336``): looks for a
-    WhiteKernel summand at the top level of ``kernel``. Returns None if
-    absent or fixed.
+    WhiteKernel *summand*, recursing only through Sum nodes — a
+    WhiteKernel inside a Product is a multiplicative factor, not
+    additive noise, and zeroing it would zero the whole product term.
+    Returns None if absent or fixed.
     """
-    idx = 0
-    for leaf in iter_leaves(kernel):
-        if isinstance(leaf, WhiteKernel) and leaf.n_theta == 1:
-            return idx
-        idx += leaf.n_theta
-    return None
+
+    def scan(k, offset):
+        if isinstance(k, WhiteKernel) and k.n_theta == 1:
+            return offset
+        if type(k) is Sum:  # NB: Product subclasses Sum here
+            hit = scan(k.k1, offset)
+            if hit is not None:
+                return hit
+            return scan(k.k2, offset + k.k1.n_theta)
+        return None
+
+    return scan(kernel, 0)

@@ -212,6 +212,11 @@ class Optimizer:
                     # matching the exact path's semantics
                 ).T  # (k, n_points)
             except NotImplementedError:
+                # exact joint draws build an (m, m) predictive covariance
+                # per draw — subsample the grid so a non-fusable kernel
+                # degrades gracefully instead of OOMing at 65k candidates
+                keep = self.rng.choice(len(X), size=2048, replace=False)
+                X = X[keep]
                 order = np.argsort(
                     self.gp.sample_y(
                         X, n_samples=n_points, random_state=seed

@@ -78,6 +78,17 @@ class BayesSearchCV(BaseSearchCV):
             return_train_score=return_train_score,
         )
 
+    def fit(self, X, y=None, *, groups=None, **fit_params):
+        """Fit with constructor-level ``fit_params`` merged in.
+
+        The reference (via skopt's searcher) accepts ``fit_params`` in
+        ``__init__``; sklearn's BaseSearchCV only takes them per ``fit``
+        call. Merge the two, with call-time params winning.
+        """
+        if self.fit_params:
+            fit_params = {**self.fit_params, **fit_params}
+        return super().fit(X, y=y, groups=groups, **fit_params)
+
     # -- search space handling --------------------------------------------
 
     def _normalized_spaces(self):

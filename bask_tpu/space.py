@@ -95,6 +95,10 @@ class Integer(Dimension):
             raise ValueError("low must be <= high")
         self.low = int(low)
         self.high = int(high)
+        if prior not in ("uniform", "log-uniform"):
+            raise ValueError(f"Unknown prior {prior!r}")
+        if prior == "log-uniform" and low <= 0:
+            raise ValueError("log-uniform requires positive bounds")
         self.prior = prior
         self.name = name
 
@@ -102,14 +106,29 @@ class Integer(Dimension):
         v = np.asarray(values, dtype=float)
         if self.high == self.low:
             return np.zeros_like(v)
+        if self.prior == "log-uniform":
+            return (np.log(v) - np.log(self.low)) / (
+                np.log(self.high) - np.log(self.low)
+            )
         return (v - self.low) / (self.high - self.low)
 
     def inverse_transform(self, values):
         u = np.clip(np.asarray(values, dtype=float), 0.0, 1.0)
-        x = np.round(self.low + u * (self.high - self.low)).astype(int)
+        if self.prior == "log-uniform" and self.high != self.low:
+            x = np.round(
+                np.exp(
+                    np.log(self.low)
+                    + u * (np.log(self.high) - np.log(self.low))
+                )
+            ).astype(int)
+        else:
+            x = np.round(self.low + u * (self.high - self.low)).astype(int)
         return np.clip(x, self.low, self.high)
 
     def rvs(self, n_samples, random_state):
+        if self.prior == "log-uniform":
+            u = random_state.uniform(size=n_samples)
+            return self.inverse_transform(u)
         return random_state.randint(self.low, self.high + 1, size=n_samples)
 
     @property

@@ -121,6 +121,7 @@ def _dim_to_dict(d) -> dict:
             "type": "Integer",
             "low": d.low,
             "high": d.high,
+            "prior": d.prior,
             "name": d.name,
         }
     if isinstance(d, sp.Categorical):
@@ -137,7 +138,9 @@ def _dim_from_dict(d: dict):
     if t == "Real":
         return sp.Real(d["low"], d["high"], prior=d["prior"], name=d["name"])
     if t == "Integer":
-        return sp.Integer(d["low"], d["high"], name=d["name"])
+        return sp.Integer(
+            d["low"], d["high"], prior=d.get("prior", "uniform"), name=d["name"]
+        )
     if t == "Categorical":
         return sp.Categorical(d["categories"], name=d["name"])
     raise TypeError(f"Unknown dimension type {t}")
@@ -226,7 +229,14 @@ def load_gpr(path: str):
 
 
 def save_optimizer(opt, path: str) -> None:
-    """Serialize an Optimizer (observations + GP + RNG) to ``path``."""
+    """Serialize an Optimizer (observations + GP + RNG) to ``path``.
+
+    Limitations (warned about, not silent): custom acquisition instances
+    and callable ``gp_priors`` cannot round-trip through npz — the
+    restored optimizer falls back to "pvrs" / guessed priors.
+    """
+    import warnings
+
     gstate = _gpr_state(opt.gp)
     acq_name = None
     for name, fn in __import__(
@@ -234,6 +244,21 @@ def save_optimizer(opt, path: str) -> None:
     ).ACQUISITION_FUNC.items():
         if fn is opt.acq_func:
             acq_name = name
+    if acq_name is None:
+        warnings.warn(
+            "save_optimizer: acquisition function "
+            f"{type(opt.acq_func).__name__!r} is not in ACQUISITION_FUNC "
+            "and cannot be serialized; the restored optimizer will use "
+            "'pvrs'. Re-assign opt.acq_func after load_optimizer.",
+            stacklevel=2,
+        )
+    if opt.gp_priors is not None:
+        warnings.warn(
+            "save_optimizer: gp_priors are callables and are not "
+            "serialized; the restored optimizer will guess priors from "
+            "the kernel. Re-assign opt.gp_priors after load_optimizer.",
+            stacklevel=2,
+        )
     meta = {
         "dimensions": [_dim_to_dict(d) for d in opt.space.dimensions],
         "n_points": opt.n_points,
@@ -252,6 +277,15 @@ def save_optimizer(opt, path: str) -> None:
     arrays = dict(gstate["arrays"])
     arrays["rng_keys"] = rng_state[1]
     meta["rng"] = [rng_state[0], int(rng_state[2]), int(rng_state[3]), float(rng_state[4])]
+    if getattr(opt, "_init_rng", None) is not None:
+        init_state = opt._init_rng.get_state()
+        arrays["init_rng_keys"] = init_state[1]
+        meta["init_rng"] = [
+            init_state[0],
+            int(init_state[2]),
+            int(init_state[3]),
+            float(init_state[4]),
+        ]
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
@@ -271,6 +305,12 @@ def load_optimizer(path: str):
         gp_kernel=kernel_from_dict(meta["gpr"]["kernel_user"]),
         acq_func=meta["acq_func"],
         acq_func_kwargs=meta["acq_func_kwargs"],
+        gp_kwargs=dict(
+            alpha=meta["gpr"]["alpha"],
+            normalize_y=meta["gpr"]["normalize_y"],
+            warp_inputs=meta["gpr"]["warp_inputs"],
+            noise=meta["gpr"]["noise"],
+        ),
     )
     opt.Xi = [list(x) for x in meta["Xi"]]
     opt.yi = list(meta["yi"])
@@ -281,7 +321,10 @@ def load_optimizer(path: str):
     opt.rng.set_state(
         (rng_meta[0], arrays["rng_keys"], rng_meta[1], rng_meta[2], rng_meta[3])
     )
-    opt.gp.normalize_y = meta["gpr"]["normalize_y"]
-    opt.gp.warp_inputs = meta["gpr"]["warp_inputs"]
+    if "init_rng_keys" in arrays and getattr(opt, "_init_rng", None) is not None:
+        ir = meta["init_rng"]
+        opt._init_rng.set_state(
+            (ir[0], arrays["init_rng_keys"], ir[1], ir[2], ir[3])
+        )
     _restore_gpr(opt.gp, meta["gpr"], arrays)
     return opt
