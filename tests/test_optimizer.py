@@ -103,21 +103,39 @@ def fitted_opt():
 
 
 @pytest.mark.parametrize(
-    "kwargs,expected",
+    "kwargs,golden,reference",
     [
-        (dict(normalized_scores=False, threshold=1.0), 0.99),
-        (dict(normalized_scores=True, threshold=1.0), 0.99),
+        # golden: measured on this implementation under fixed seeds
+        # (deterministic: seeded MCMC + seeded MC draws); pinned at
+        # 2 decimals like the reference's own golden tests.
+        # reference: the value the reference pins under ITS RNG stream
+        # (tests/test_optimizer.py:85-110) — asserted as a proximity
+        # band, since RNG streams legitimately differ.
+        (dict(normalized_scores=False, threshold=1.0), 0.9650, 0.99),
+        (dict(normalized_scores=True, threshold=1.0), 0.9900, 0.99),
     ],
 )
-def test_probability_of_optimality(fitted_opt, kwargs, expected):
+def test_probability_of_optimality(fitted_opt, kwargs, golden, reference):
     prob = fitted_opt.probability_of_optimality(
         threshold=kwargs["threshold"],
-        n_random_starts=20,
+        n_random_starts=100,
         random_state=1,
         normalized_scores=kwargs["normalized_scores"],
     )
-    # Reference pins 0.99 under its RNG; we assert the same regime.
-    assert prob > 0.9
+    np.testing.assert_almost_equal(prob, golden, decimal=2)
+    assert abs(prob - reference) <= 0.07
+
+
+def test_probability_of_optimality_tuple_threshold(fitted_opt):
+    probs = fitted_opt.probability_of_optimality(
+        threshold=(0.9, 0.5),
+        n_random_starts=100,
+        random_state=1,
+        normalized_scores=False,
+    )
+    np.testing.assert_almost_equal(probs, [0.9500, 0.8000], decimal=2)
+    # reference pins (0.98, 0.86) under its RNG
+    assert abs(probs[0] - 0.98) <= 0.07 and abs(probs[1] - 0.86) <= 0.07
 
 
 def test_probability_of_optimality_thresholds_monotone(fitted_opt):
@@ -134,7 +152,17 @@ def test_probability_of_optimality_thresholds_monotone(fitted_opt):
 
 
 @pytest.mark.slow
-def test_expected_optimality_gap(fitted_opt):
+@pytest.mark.parametrize(
+    "kwargs,golden,reference",
+    [
+        # golden: this implementation under fixed seeds (2-decimal pin);
+        # reference: tests/test_optimizer.py:113-140 values (proximity)
+        (dict(normalized_scores=False, use_mean_gp=True), 0.3101, 0.30),
+        (dict(normalized_scores=True, use_mean_gp=True), 0.2550, 0.25),
+        (dict(normalized_scores=True, use_mean_gp=False), 0.3217, 0.29),
+    ],
+)
+def test_expected_optimality_gap(fitted_opt, kwargs, golden, reference):
     gap = fitted_opt.expected_optimality_gap(
         random_state=1,
         n_probabilities=10,
@@ -142,9 +170,10 @@ def test_expected_optimality_gap(fitted_opt):
         n_gp_samples=100,
         n_random_starts=10,
         tol=0.1,
+        **kwargs,
     )
-    # Reference golden values were 0.25-0.30 under its RNG stream.
-    assert 0.0 <= gap < 1.0
+    np.testing.assert_almost_equal(gap, golden, decimal=2)
+    assert abs(gap - reference) <= 0.07
 
 
 def test_optimum_intervals():
