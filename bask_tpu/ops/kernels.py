@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field, replace
+from functools import partial
 from typing import Tuple, Union
 
 import jax
@@ -41,6 +42,67 @@ __all__ = [
 ]
 
 Bounds = Union[str, Tuple[float, float]]
+
+
+# ---------------------------------------------------------------------------
+# General-nu Matern (modified-Bessel form) via host callback
+#
+# The reference supports arbitrary nu through sklearn's Matern (Bessel
+# K_nu, computed by scipy); there is no closed form XLA can fuse, so this
+# path runs scipy on the host via ``jax.pure_callback``. It is intended
+# for CPU use (parity, exotic models); the fused Pallas/TPU paths never
+# match general nu (``pallas_gram.match_fusable`` returns None) and a
+# TPU backend without host-callback support will fail inside the
+# callback with jax's own error. Gradients use the exact identity
+# d/dz [z^nu K_nu(z)] = -z^nu K_{nu-1}(z).
+# ---------------------------------------------------------------------------
+
+
+def _matern_general_np(r, nu):
+    import scipy.special as sps
+
+    r = np.asarray(r)
+    z = np.sqrt(2.0 * nu) * r
+    coef = np.exp((1.0 - nu) * np.log(2.0) - sps.gammaln(nu))
+    with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
+        val = coef * z**nu * sps.kv(nu, z)
+    return np.where(z > 0, val, 1.0).astype(r.dtype)
+
+
+def _matern_general_dr_np(r, nu):
+    import scipy.special as sps
+
+    r = np.asarray(r)
+    a = np.sqrt(2.0 * nu)
+    z = a * r
+    coef = np.exp((1.0 - nu) * np.log(2.0) - sps.gammaln(nu))
+    with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
+        val = -coef * a * z**nu * sps.kv(nu - 1.0, z)
+    return np.where(z > 0, val, 0.0).astype(r.dtype)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _matern_general(r, nu):
+    return jax.pure_callback(
+        lambda rr: _matern_general_np(rr, nu),
+        jax.ShapeDtypeStruct(r.shape, r.dtype),
+        r,
+        vmap_method="broadcast_all",
+    )
+
+
+@_matern_general.defjvp
+def _matern_general_jvp(nu, primals, tangents):
+    (r,) = primals
+    (dr,) = tangents
+    primal = _matern_general(r, nu)
+    grad = jax.pure_callback(
+        lambda rr: _matern_general_dr_np(rr, nu),
+        jax.ShapeDtypeStruct(r.shape, r.dtype),
+        r,
+        vmap_method="broadcast_all",
+    )
+    return primal, grad * dr
 
 
 def sqdist(X, Y, inv_ls):
@@ -293,11 +355,14 @@ class RBF(Kernel):
 
 @dataclass(frozen=True)
 class Matern(RBF):
-    """Matern kernel for nu in {0.5, 1.5, 2.5, inf}.
+    """Matern kernel; any positive nu (nu=inf falls back to RBF).
 
     The reference's default kernel uses nu=2.5 (reference
-    ``bask/utils.py:144-150``). General nu (Bessel-function form) is not
-    supported on the jit path; nu=inf falls back to RBF.
+    ``bask/utils.py:144-150``); nu in {0.5, 1.5, 2.5, inf} have fused
+    closed forms. Other nu use the modified-Bessel form through a host
+    scipy callback (see :func:`_matern_general`) — correct anywhere a
+    host callback is available (CPU parity path), never matched by the
+    fused Pallas/TPU fast paths.
     """
 
     nu: float = 1.5
@@ -317,10 +382,7 @@ class Matern(RBF):
         if nu == 2.5:
             s = math.sqrt(5.0) * r
             return (1.0 + s + s * s / 3.0) * jnp.exp(-s)
-        raise NotImplementedError(
-            f"Matern nu={nu} is not supported on the TPU path; "
-            "use nu in {0.5, 1.5, 2.5, inf}."
-        )
+        return _matern_general(r, float(nu))
 
 
 @dataclass(frozen=True)
