@@ -137,6 +137,41 @@ def _run_chain(
     return run_ensemble(log_prob, pos0, key, n_steps, a=a)
 
 
+@partial(
+    jax.jit, static_argnames=("kernel", "priors", "warp_prior", "n_warp")
+)
+def _init_chain_state(kernel, priors, warp_prior, n_warp, data, pos):
+    from ..parallel.mcmc import init_ensemble
+
+    log_prob = _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data)
+    return init_ensemble(log_prob, pos)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "priors", "warp_prior", "n_warp", "a"),
+)
+def _run_chain_chunk(
+    kernel, priors, warp_prior, n_warp, data, state, keys, a=2.0
+):
+    """Advance an existing ensemble state by ``len(keys)`` steps.
+
+    Used by the ``progress=True`` path: the chain is split into fixed
+    chunks with a host progress tick between them. Fed the same per-step
+    key array as the fused path, the produced chain is bit-identical.
+    """
+    from ..parallel.mcmc import stretch_step
+
+    log_prob = _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data)
+
+    def step(s, k):
+        new = stretch_step(log_prob, s, k, a=a)
+        return new, new.pos
+
+    final, chain = jax.lax.scan(step, state, keys)
+    return chain, final
+
+
 @partial(jax.jit, static_argnames=("kernel",))
 def _lml_value_grad(kernel, theta, data):
     """Value+grad of the LML for the ML-II warm start.
@@ -364,6 +399,20 @@ class BayesGPR:
                 )
             )
         return self._X_orig
+
+    @X_train_.setter
+    def X_train_(self, X_train):
+        """Replace the training inputs (original, unwarped space).
+
+        Mirrors the reference setter (``bask/bayesgpr.py:237-247``): the
+        warped view is (re)derived from the current warp parameters, and
+        the padded device data + factorization refresh.
+        """
+        X_train = np.atleast_2d(np.asarray(X_train, dtype=float))
+        self._X_orig = np.copy(X_train) if self.copy_X_train else X_train
+        if self._y_orig is not None:
+            self._upload()
+            self._refresh_posterior()
 
     @property
     def y_train_(self):
@@ -641,18 +690,54 @@ class BayesGPR:
             from ..parallel.mesh import shard_walkers
 
             pos_dev = shard_walkers(pos_dev, mesh, axis=mesh.axis_names[0])
-        chain_dev, final = _run_chain(
-            self.kernel_,
-            priors,
-            warp_priors,
-            n_warp,
-            self._data,
-            pos_dev,
-            key,
-            n_steps,
-            a=float(kwargs.get("a", 2.0)),  # stretch-move scale (the
-            # reference forwards sampler kwargs to emcee similarly)
-        )
+        a_scale = float(kwargs.get("a", 2.0))  # stretch-move scale (the
+        # reference forwards sampler kwargs to emcee similarly)
+        if progress:
+            # chunked chain with a host progress tick between chunks
+            # (the reference shows emcee's bar, bask/bayesgpr.py:523).
+            # Same per-step key array as the fused path -> identical
+            # chain; costs a couple of extra (cached) compiles and one
+            # device dispatch per chunk.
+            from ..utils.progress import get_progress_bar
+
+            keys = jax.random.split(key, n_steps)
+            state = _init_chain_state(
+                self.kernel_, priors, warp_priors, n_warp, self._data, pos_dev
+            )
+            chunk = 8
+            parts = []
+            pbar = get_progress_bar(True, n_steps)
+            i = 0
+            while i < n_steps:
+                ks = keys[i : i + chunk]
+                part, state = _run_chain_chunk(
+                    self.kernel_,
+                    priors,
+                    warp_priors,
+                    n_warp,
+                    self._data,
+                    state,
+                    ks,
+                    a=a_scale,
+                )
+                parts.append(part)
+                i += ks.shape[0]
+                pbar.update(int(ks.shape[0]))
+            pbar.close()
+            chain_dev = jnp.concatenate(parts, axis=0)
+            final = state
+        else:
+            chain_dev, final = _run_chain(
+                self.kernel_,
+                priors,
+                warp_priors,
+                n_warp,
+                self._data,
+                pos_dev,
+                key,
+                n_steps,
+                a=a_scale,
+            )
         flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
         if add and self.chain_ is not None:
             self.chain_ = np.concatenate([self.chain_, np.asarray(flat)])
@@ -1029,6 +1114,53 @@ class BayesGPR:
                 self.kernel_, jnp.asarray(theta, dtype=self._dtype()), data
             )
         )
+
+    # -- public warper API (reference bask/bayesgpr.py:249-316) ------------
+
+    def create_warpers(self, alphas, betas):
+        """Set the Beta-CDF warp parameters (log-space), as the reference's
+        ``create_warpers`` does (``bask/bayesgpr.py:298-316``).
+
+        The per-column warper/unwarper callables are exposed through the
+        derived :attr:`warpers_` / :attr:`unwarpers_` properties; call
+        :meth:`rewarp` (and set :attr:`theta`) afterwards to refresh the
+        model, mirroring reference usage.
+        """
+        if not self.warp_inputs:
+            return
+        self.warp_alphas_ = np.copy(np.asarray(alphas, dtype=float))
+        self.warp_betas_ = np.copy(np.asarray(betas, dtype=float))
+
+    def rewarp(self):
+        """Re-apply warping to the training data after the warp parameters
+        changed (reference ``bask/bayesgpr.py:284-296``); refreshes the
+        factorized posterior when a consensus theta exists."""
+        if self.warp_inputs and self.warp_alphas_ is not None:
+            self._refresh_posterior()
+
+    @property
+    def warpers_(self):
+        """Per-column warp callables (Beta CDFs), reference-compatible."""
+        if not self.warp_inputs or self.warp_alphas_ is None:
+            return None
+        import scipy.stats as st
+
+        return [
+            st.beta(a=np.exp(a), b=np.exp(b)).cdf
+            for a, b in zip(self.warp_alphas_, self.warp_betas_)
+        ]
+
+    @property
+    def unwarpers_(self):
+        """Per-column unwarp callables (Beta PPFs), reference-compatible."""
+        if not self.warp_inputs or self.warp_alphas_ is None:
+            return None
+        import scipy.stats as st
+
+        return [
+            st.beta(a=np.exp(a), b=np.exp(b)).ppf
+            for a, b in zip(self.warp_alphas_, self.warp_betas_)
+        ]
 
     def warp(self, X):
         if self.warp_inputs and self.warp_alphas_ is not None:

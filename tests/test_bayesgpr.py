@@ -139,3 +139,27 @@ def test_predict_gradients_match_fd():
         np.testing.assert_allclose(
             (sp[0] - std[0]) / eps, sg[0, j], rtol=1e-3, atol=1e-5
         )
+
+
+def test_progress_chunked_chain_identical():
+    """progress=True must not change results: the chunked scan consumes
+    the same per-step key array as the fused single-scan path."""
+    from bask_tpu.models.bayesgpr import BayesGPR
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(10, 2))
+    y = np.sin(3 * X[:, 0])
+
+    chains = []
+    for progress in (False, True):
+        gp = BayesGPR(random_state=11)
+        gp.fit(
+            X,
+            y,
+            n_desired_samples=20,
+            n_burnin=3,
+            n_walkers_per_thread=10,
+            progress=progress,
+        )
+        chains.append(np.copy(gp.chain_))
+    np.testing.assert_array_equal(chains[0], chains[1])
