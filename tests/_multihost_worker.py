@@ -1,0 +1,106 @@
+"""Worker process for the 2-process x 4-device multi-host parity test.
+
+Usage: python _multihost_worker.py <coordinator> <num_processes> <process_id>
+
+Runs the production MCMC chain twice — once process-locally (the
+single-process reference) and once sharded over the process-spanning
+global mesh — and asserts its addressable shards of the global chain are
+bit-identical to the corresponding walker rows of the reference chain.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+    from bask_tpu.parallel.distributed import (
+        global_walker_mesh,
+        init_distributed,
+        shard_global,
+    )
+
+    idx, cnt = init_distributed(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+    assert cnt == nproc, (idx, cnt)
+    n_local = jax.local_device_count()
+    n_global = jax.device_count()
+    assert n_global == nproc * n_local, (n_global, n_local)
+
+    from bask_tpu.models import gp as gpc
+    from bask_tpu.models.bayesgpr import _run_chain
+    from bask_tpu.models.warping import default_warp_log_prior
+    from bask_tpu.ops import kernels as bk
+    from bask_tpu.utils.priors import guess_priors
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(12, 2))
+    y = np.sin(3 * X[:, 0]) + 0.1 * rng.randn(12)
+    y = y - y.mean()
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
+        (0.3, 0.3), (0.05, 2.0), nu=2.5
+    ) + bk.WhiteKernel(0.01, (1e-5, 1e5))
+    data = gpc.make_data(
+        jnp.asarray(X),
+        jnp.asarray(y),
+        jnp.full(12, 1e-10),
+        jnp.ones(12, bool),
+    )
+    priors = tuple(guess_priors(kernel))
+    n_walkers = 2 * n_global  # 2 walkers per device
+    pos0 = 0.05 * np.random.RandomState(1).randn(n_walkers, kernel.n_theta)
+    key = jax.random.PRNGKey(5)
+    n_steps = 5
+
+    # process-local reference (single-process semantics)
+    ref_chain, ref_final = _run_chain(
+        kernel,
+        priors,
+        default_warp_log_prior,
+        0,
+        data,
+        jnp.asarray(pos0),
+        key,
+        n_steps,
+    )
+    ref_chain = np.asarray(ref_chain)
+
+    # global-mesh sharded run across all processes
+    mesh = global_walker_mesh()
+    pos_sharded = shard_global(pos0, mesh, "walkers", sharded_dim=0)
+    chain, final = _run_chain(
+        kernel,
+        priors,
+        default_warp_log_prior,
+        0,
+        data,
+        pos_sharded,
+        key,
+        n_steps,
+    )
+
+    checked = 0
+    for shard in chain.addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), ref_chain[shard.index]
+        )
+        checked += 1
+    assert checked >= n_local, checked
+    print(f"worker {idx}/{cnt}: multihost chain parity OK "
+          f"({checked} shards, {n_walkers} walkers, {n_global} devices)")
+
+
+if __name__ == "__main__":
+    main()
