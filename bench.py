@@ -43,7 +43,8 @@ N_OBS = 500
 N_DIM = 15
 N_WALKERS = 100
 N_STEPS = 300
-CPU_MEASURE_STEPS = 2  # serial steps to time, extrapolated to N_STEPS
+CPU_MEASURE_STEPS = 10  # serial steps per timed repetition
+CPU_MEASURE_REPS = 3  # repetitions; the median is extrapolated to N_STEPS
 
 
 def _dataset():
@@ -199,28 +200,42 @@ def bench_cpu_reference():
 
     lp = np.array([lml(p) for p in pos])
     half = N_WALKERS // 2
-    t0 = time.perf_counter()
-    for _ in range(CPU_MEASURE_STEPS):
-        for lo, hi, olo, ohi in ((0, half, half, N_WALKERS), (half, N_WALKERS, 0, half)):
-            for i in range(lo, hi):
-                j = rng.randint(olo, ohi)
-                z = ((2 - 1) * rng.rand() + 1) ** 2 / 2
-                prop = pos[j] + z * (pos[i] - pos[j])
-                lp_prop = lml(prop)
-                if np.log(rng.rand()) < (n_theta - 1) * np.log(z) + lp_prop - lp[i]:
-                    pos[i], lp[i] = prop, lp_prop
-    per_step = (time.perf_counter() - t0) / CPU_MEASURE_STEPS
-    return per_step * N_STEPS
+    per_step_samples = []
+    # rep 0 is a warmup (BLAS thread pools, allocator, caches) and is
+    # discarded; the r2 driver run showed it ~35% faster than steady state
+    for _rep in range(CPU_MEASURE_REPS + 1):
+        t0 = time.perf_counter()
+        for _ in range(CPU_MEASURE_STEPS):
+            for lo, hi, olo, ohi in ((0, half, half, N_WALKERS), (half, N_WALKERS, 0, half)):
+                for i in range(lo, hi):
+                    j = rng.randint(olo, ohi)
+                    z = ((2 - 1) * rng.rand() + 1) ** 2 / 2
+                    prop = pos[j] + z * (pos[i] - pos[j])
+                    lp_prop = lml(prop)
+                    if np.log(rng.rand()) < (n_theta - 1) * np.log(z) + lp_prop - lp[i]:
+                        pos[i], lp[i] = prop, lp_prop
+        if _rep > 0:
+            per_step_samples.append(
+                (time.perf_counter() - t0) / CPU_MEASURE_STEPS
+            )
+    per_step = float(np.median(per_step_samples))
+    spread = (
+        float(np.min(per_step_samples) * N_STEPS),
+        float(np.max(per_step_samples) * N_STEPS),
+    )
+    return per_step * N_STEPS, spread
 
 
 def main():
     quick = "--quick" in sys.argv
-    global N_STEPS, CPU_MEASURE_STEPS
+    global N_STEPS, CPU_MEASURE_STEPS, CPU_MEASURE_REPS
     if quick:
         N_STEPS = 20
+        CPU_MEASURE_STEPS = 2
+        CPU_MEASURE_REPS = 1
 
     tpu_time, acc, acq_rate = bench_tpu()
-    cpu_time = bench_cpu_reference()
+    cpu_time, cpu_spread = bench_cpu_reference()
     speedup = cpu_time / tpu_time
 
     print(
@@ -232,6 +247,10 @@ def main():
                 "vs_baseline": round(speedup, 2),
                 "detail": {
                     "cpu_reference_extrapolated_s": round(cpu_time, 1),
+                    "cpu_reference_spread_s": [
+                        round(cpu_spread[0], 1),
+                        round(cpu_spread[1], 1),
+                    ],
                     "acceptance_rate": round(acc, 3),
                     "n_steps": N_STEPS,
                     "acquisition_evals_per_s": round(acq_rate),
