@@ -341,6 +341,9 @@ def evaluate_acquisitions(
         jax.random.PRNGKey(rs.randint(0, 2**31 - 1)), n_samples
     )
     kwargs_tuple = tuple(sorted(kwargs.items()))
+    from .utils.progress import get_progress_bar
+
+    pbar = get_progress_bar(progress, n_acqs)
     for i, acq in enumerate(acquisition_functions):
         try:
             if isinstance(acq, UncertaintyAcquisition):
@@ -362,6 +365,8 @@ def evaluate_acquisitions(
         finite = np.all(np.isfinite(vals), axis=1)
         if finite.any():
             out[i] += vals[finite].sum(axis=0) / n_samples
+        pbar.update(1)
+    pbar.close()
     return out
 
 

@@ -43,6 +43,38 @@ def _mm(a, b):
 __all__ = ["tri_newton_inv", "block_cholesky", "block_forward_solve", "fast_lml_terms"]
 
 _BASE = 32
+# Base-case implementation: "unrolled" emits _BASE fully unrolled rank-1
+# update steps that XLA schedules without While-loop/dynamic-slice
+# latency; "xla" uses jnp.linalg.cholesky's generic loop kernel.
+# Module-level so benchmarks can switch variants per process.
+BASE_IMPL = "xla"
+
+
+def _unrolled_chol(A):
+    """Right-looking Cholesky with every step unrolled at trace time.
+
+    For small static m this lowers to m dependent-but-fusable VPU ops —
+    no While loop, no dynamic slices. Non-PD inputs produce a NaN in
+    sqrt that propagates (the branchless -inf LML contract).
+    """
+    m = A.shape[-1]
+    rows = jnp.arange(m)
+    cols = []
+    M = A
+    for j in range(m):
+        d = jnp.sqrt(M[..., j, j])
+        col = M[..., :, j] / d[..., None]
+        col = jnp.where(rows >= j, col, 0.0)
+        cols.append(col)
+        if j + 1 < m:
+            M = M - col[..., :, None] * col[..., None, :]
+    return jnp.stack(cols, axis=-1)
+
+
+def _base_chol(A):
+    if BASE_IMPL == "unrolled":
+        return _unrolled_chol(A)
+    return jnp.linalg.cholesky(A)
 
 
 def tri_newton_inv(L, m: int | None = None):
@@ -71,7 +103,7 @@ def tri_newton_inv(L, m: int | None = None):
 def _chol_recursive(A):
     n = A.shape[-1]
     if n <= _BASE:
-        return jnp.linalg.cholesky(A)
+        return _base_chol(A)
     h = n // 2
     A11 = A[..., :h, :h]
     A21 = A[..., h:, :h]
