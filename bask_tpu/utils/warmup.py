@@ -1,0 +1,79 @@
+"""Ahead-of-time compile warmup for production BO loops.
+
+Remote TPU compiles take minutes per (bucket, n_steps) combination and
+the persistent compile cache is not reliable across processes
+(STATUS.md "Operational notes"). This helper pre-compiles every device
+program a BO run will touch — ML-II value+grad, the MCMC chain, the
+posterior refresh, and the acquisition pass — for the padding buckets
+the run will traverse, so the loop itself never stalls mid-flight.
+
+Compile-cache hits rely on bask-tpu's static-argument invariants
+(CLAUDE.md): kernel specs are frozen dataclasses hashing by value,
+guessed priors are module-level functions, and acquisition instances are
+reused from the optimizer. Call with the SAME ``gp_samples`` /
+``gp_burnin`` / ``n_samples`` the real ``tell`` loop will use — they
+feed static chain lengths and draw counts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+
+__all__ = ["warmup_optimizer"]
+
+
+def warmup_optimizer(
+    opt,
+    n_observations: Iterable[int],
+    gp_samples: int = 100,
+    gp_burnin: int = 10,
+    n_samples: int = 0,
+    rng_seed: int = 0,
+):
+    """Pre-compile the tell-path programs of ``opt`` for each padding
+    bucket covered by ``n_observations``.
+
+    Runs miniature synthetic ``tell`` cycles on a throwaway clone that
+    shares ``opt``'s kernel / prior / acquisition instances (the jit
+    cache keys). Returns the list of warmed bucket sizes.
+    """
+    from ..models.bayesgpr import _bucket
+    from ..optimizer import Optimizer
+
+    clone = Optimizer(
+        dimensions=opt.space.dimensions,
+        n_points=opt.n_points,
+        n_initial_points=0,
+        init_strategy=None,
+        gp_kernel=opt.gp._user_kernel,
+        gp_kwargs=dict(
+            alpha=opt.gp.alpha,
+            normalize_y=opt.gp.normalize_y,
+            warp_inputs=opt.gp.warp_inputs,
+            noise=opt.gp.noise,
+        ),
+        gp_priors=opt.gp_priors,
+        acq_func=opt.acq_func,
+        acq_func_kwargs=opt.acq_func_kwargs,
+        random_state=rng_seed,
+    )
+    rng = np.random.RandomState(rng_seed)
+    d = opt.space.transformed_n_dims
+    buckets = sorted({_bucket(max(int(n), 1)) for n in n_observations})
+    for b in buckets:
+        # fill the bucket exactly: any n in (b-64, b] pads to the same
+        # shapes, hence the same compiled programs
+        X = rng.uniform(size=(b, d))
+        y = np.sin(3.0 * X[:, 0]) + 0.1 * rng.randn(b)
+        pts = opt.space.inverse_transform(X)
+        clone.tell(
+            pts,
+            list(y),
+            replace=True,
+            n_samples=n_samples,
+            gp_samples=gp_samples,
+            gp_burnin=gp_burnin,
+        )
+    return buckets

@@ -1,0 +1,48 @@
+"""AOT warmup: after warmup_optimizer, a real BO run of the same shape
+must not trigger any new chain/ML-II/posterior/acquisition compiles."""
+
+import numpy as np
+
+from bask_tpu import Optimizer
+from bask_tpu.models import bayesgpr as bg
+from bask_tpu.utils.warmup import warmup_optimizer
+
+
+def test_warmup_precompiles_tell_path():
+    opt = Optimizer(
+        dimensions=[(0.0, 1.0), (0.0, 1.0)],
+        n_points=64,
+        n_initial_points=2,
+        init_strategy="random",
+        acq_func="ei",
+        random_state=1,
+    )
+    buckets = warmup_optimizer(
+        opt, n_observations=(2, 3, 4), gp_samples=20, gp_burnin=2, n_samples=3
+    )
+    assert buckets == [64]
+
+    from bask_tpu import acquisition as acq_mod
+
+    sizes = {
+        "chain": bg._run_chain._cache_size(),
+        "ml2": bg._lml_value_grad._cache_size(),
+        "post": bg._posterior_robust._cache_size(),
+        "acq": acq_mod._per_draw_predictions._cache_size(),
+    }
+
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        x = opt.ask()
+        opt.tell(
+            x,
+            float(np.sin(3 * x[0]) + 0.05 * rng.randn()),
+            n_samples=3,
+            gp_samples=20,
+            gp_burnin=2,
+        )
+
+    assert bg._run_chain._cache_size() == sizes["chain"]
+    assert bg._lml_value_grad._cache_size() == sizes["ml2"]
+    assert bg._posterior_robust._cache_size() == sizes["post"]
+    assert acq_mod._per_draw_predictions._cache_size() == sizes["acq"]
