@@ -243,6 +243,22 @@ class Optimizer:
             chosen.append(picked)
         return self.space.inverse_transform(X[chosen])
 
+    def _candidate_grid(self):
+        """Fresh uniform candidate grid in the (unwarped) GP space.
+
+        With input warping on, candidates are drawn uniformly in the
+        *warped* space and mapped back, so their density follows the
+        learned warp (reference behavior, ``bask/optimizer.py:353-363``).
+        """
+        d = self.space.transformed_n_dims
+        if self.gp.warp_inputs:
+            return self.gp.unwarp(
+                self.rng.uniform(size=(self.n_points, d))
+            )
+        return self.space.transform(
+            self.space.rvs(n_samples=self.n_points, random_state=self.rng)
+        )
+
     def tell(
         self,
         x,
@@ -319,17 +335,7 @@ class Optimizer:
                     )
 
             t_acq = _time.perf_counter()
-            if self.gp.warp_inputs:
-                X_warped = self.rng.uniform(
-                    size=(self.n_points, self.space.transformed_n_dims)
-                )
-                X = self.gp.unwarp(X_warped)
-            else:
-                X = self.space.transform(
-                    self.space.rvs(
-                        n_samples=self.n_points, random_state=self.rng
-                    )
-                )
+            X = self._candidate_grid()
             acq_values = evaluate_acquisitions(
                 X=X,
                 gpr=self.gp,
