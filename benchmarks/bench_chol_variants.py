@@ -39,8 +39,15 @@ def main():
     else:
         if "unrolled" in variant:
             fc.BASE_IMPL = "unrolled"
-        if variant.endswith("nb64"):
+        if "nb64" in variant:
             nb = 64
+        if "nb256" in variant:
+            nb = 256
+        if "high" in variant:
+            # 3-pass bf16 matmuls instead of the 6-pass HIGHEST
+            fc._mm = lambda a, b: jnp.matmul(
+                a, b, precision=lax.Precision.HIGH
+            )
 
         def fact(A):
             return fc.block_cholesky(A, nb=nb)[0]
