@@ -47,6 +47,7 @@ from .utils.serialization import (  # noqa: F401
     save_optimizer,
 )
 from .utils.validation import validate_zeroone  # noqa: F401
+from .utils.warmup import warmup_optimizer  # noqa: F401
 
 
 def __getattr__(name):
@@ -58,7 +59,7 @@ def __getattr__(name):
         return BayesSearchCV
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "BayesGPR",
@@ -87,5 +88,6 @@ __all__ = [
     "validate_zeroone",
     "create_result",
     "expected_minimum",
+    "warmup_optimizer",
     "__version__",
 ]
