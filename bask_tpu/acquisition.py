@@ -187,13 +187,13 @@ def _variance_explained(kernel, theta, post, data, X_cand, P):
     Uses the shared-factor rank-1 border; see
     :func:`bask_tpu.ops.linalg.augmented_quadform`.
     """
-    from .ops.linalg import solve_lower_masked
+    from jax.scipy.linalg import solve_triangular
 
     mask = data.mask
     A = kernel.eval(theta, P, data.X) * mask[None, :]  # (m, n_pad)
-    A_sol = solve_lower_masked(post.L, A.T)  # (n_pad, m)
+    A_sol = solve_triangular(post.L, A.T, lower=True)  # (n_pad, m)
     k_c = kernel.eval(theta, data.X, X_cand) * mask[:, None]  # (n_pad, C)
-    l_cand = solve_lower_masked(post.L, k_c)
+    l_cand = solve_triangular(post.L, k_c, lower=True)
     k_cc = kernel.diag(theta, X_cand)
     d2 = jnp.maximum(k_cc - jnp.sum(l_cand * l_cand, axis=0), 1e-16)
     b = kernel.eval(theta, P, X_cand)  # (m, C)

@@ -207,30 +207,13 @@ def block_forward_solve(L, invs, y, nb: int | None = None):
     return jnp.concatenate(ws, axis=-1)
 
 
-def block_forward_solve_matrix(L, Y, nb: int | None = None):
-    """W = L^-1 Y for (..., n, n) lower L and (..., n, m) Y.
-
-    Blocked matmuls with Newton diagonal-block inverses instead of XLA's
-    latency-bound batched triangular substitution — the hot solve of the
-    acquisition/prediction path, where Y is the (n_pad, m) cross-gram
-    against hundreds of candidates per hyperposterior draw.
-    """
-    n = L.shape[-1]
-    if nb is None:
-        nb = pick_nb(n)
-    if n <= nb:
-        return _mm(tri_newton_inv(L, n), Y)
-    assert n % nb == 0, f"n={n} must be a multiple of nb={nb}"
-    T = n // nb
-    ws = []
-    for j in range(T):
-        lo, hi = j * nb, (j + 1) * nb
-        Dinv = tri_newton_inv(L[..., lo:hi, lo:hi], nb)
-        rhs = Y[..., lo:hi, :]
-        for k in range(j):
-            rhs = rhs - _mm(L[..., lo:hi, k * nb : (k + 1) * nb], ws[k])
-        ws.append(_mm(Dinv, rhs))
-    return jnp.concatenate(ws, axis=-2)
+# NOTE (measured on v5e, r2): a blocked-matmul *matrix-RHS* forward
+# solve (Newton diagonal-block inverses + T(T+1)/2 block matmuls) was
+# tried for the prediction/acquisition solve and REVERTED — without a
+# factorization to amortize the fresh block inverses it measured 436k
+# vs 601k acquisition evals/s against XLA's substitution. The vector
+# solve below stays fast because block_cholesky hands it the inverses
+# for free.
 
 
 def fast_lml_terms(Kp, y, nb: int | None = None):

@@ -35,7 +35,6 @@ __all__ = [
     "masked_cholesky",
     "masked_lml",
     "cho_solve_masked",
-    "solve_lower_masked",
     "augmented_quadform",
 ]
 
@@ -88,22 +87,6 @@ def cho_solve_masked(L, B):
     """Solve K x = B given the (masked) lower factor L."""
     w = solve_triangular(L, B, lower=True)
     return solve_triangular(L.T, w, lower=False)
-
-
-def solve_lower_masked(L, B):
-    """w = L^-1 B; blocked matmul fast path on f32 (matrix RHS).
-
-    XLA's triangular solve substitutes sequentially over all n columns —
-    latency-bound on TPU. When the fast path is enabled (same gate as
-    the factorization), the solve runs as T(T+1)/2 blocked matmuls with
-    exact Newton diagonal-block inverses. float64 stays on the XLA
-    substitution (bit-parity with LAPACK for the test/parity suite).
-    """
-    if _use_fast_path(L):
-        from .fast_cholesky import block_forward_solve_matrix
-
-        return block_forward_solve_matrix(L, B)
-    return solve_triangular(L, B, lower=True)
 
 
 def masked_lml(kernel, theta, X, y, alpha_diag, mask):

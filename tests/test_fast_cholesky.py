@@ -80,61 +80,3 @@ def test_fast_lml_matches_slow_path():
     finally:
         linalg.FAST_CHOLESKY = old
     np.testing.assert_allclose(fast, slow, rtol=1e-8)
-
-
-def test_block_forward_solve_matrix_matches_xla():
-    from jax.scipy.linalg import solve_triangular
-
-    from bask_tpu.ops.fast_cholesky import block_forward_solve_matrix
-
-    rng = np.random.RandomState(0)
-    for n, m, batch in ((128, 37, ()), (256, 512, (5,)), (64, 8, ())):
-        B = rng.randn(*batch, n, n)
-        A = B @ np.swapaxes(B, -1, -2) + n * np.eye(n)
-        L = np.linalg.cholesky(A)
-        Y = rng.randn(*batch, n, m)
-        ours = np.asarray(
-            block_forward_solve_matrix(jnp.asarray(L), jnp.asarray(Y))
-        )
-        ref = np.asarray(
-            solve_triangular(jnp.asarray(L), jnp.asarray(Y), lower=True)
-        )
-        np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-10)
-
-
-def test_predict_fast_solve_path_f32_parity():
-    """gp.predict with the f32 blocked solve enabled matches the XLA
-    substitution (the CPU suite runs f64, which never takes the fast
-    path — force it here)."""
-    from bask_tpu.models import gp as gpc
-    from bask_tpu.ops import kernels as bk, linalg
-
-    rng = np.random.RandomState(1)
-    n_pad, n, d = 128, 100, 3
-    X = np.full((n_pad, d), 0.5)
-    X[:n] = rng.uniform(size=(n, d))
-    y = np.zeros(n_pad)
-    y[:n] = np.sin(3 * X[:n, 0])
-    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
-        (0.3,) * d, (0.05, 2.0), nu=2.5
-    ) + bk.WhiteKernel(0.01, (1e-5, 1e5))
-    data = gpc.make_data(
-        jnp.asarray(X, dtype=jnp.float32),
-        jnp.asarray(y, dtype=jnp.float32),
-        jnp.full(n_pad, 1e-6, dtype=jnp.float32),
-        jnp.asarray(np.arange(n_pad) < n),
-    )
-    theta = jnp.asarray(kernel.theta0, dtype=jnp.float32)
-    Xq = jnp.asarray(rng.uniform(size=(50, d)), dtype=jnp.float32)
-
-    prev = linalg.FAST_CHOLESKY
-    try:
-        linalg.FAST_CHOLESKY = "off"
-        post = gpc.posterior(kernel, theta, data)
-        mu0, s0 = gpc.predict(kernel, theta, post, data, Xq, return_std=True)
-        linalg.FAST_CHOLESKY = "on"
-        mu1, s1 = gpc.predict(kernel, theta, post, data, Xq, return_std=True)
-    finally:
-        linalg.FAST_CHOLESKY = prev
-    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), rtol=2e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-3, atol=1e-5)
