@@ -266,14 +266,19 @@ def _per_draw_predictions(
         # which the dispatcher's finite filter drops (same semantics as
         # the reference skipping non-finite acquisition outputs,
         # bask/acquisition.py:140-141) — no need for the 3-rung robust
-        # ladder here, it would triple the batched factorization cost
-        post = gpc.posterior(kernel, theta_gp, d)
+        # ladder here, it would triple the batched factorization cost.
+        # On f32 the blocked factorization also hands predict cached
+        # block inverses, turning the per-draw candidate solve into
+        # MXU matmuls.
+        post, invs = gpc.posterior_and_invs(kernel, theta_gp, d)
         theta_nf = gpc.noise_free_theta(kernel, theta_gp, white_idx)
         mu, std = gpc.predict(
-            kernel, theta_nf, post, d, Xq, return_std=True
+            kernel, theta_nf, post, d, Xq, return_std=True, invs=invs
         )
         if need_sample:
-            s = gpc.sample_y(kernel, theta_nf, post, d, Xq, k, 1)[:, 0]
+            s = gpc.sample_y(
+                kernel, theta_nf, post, d, Xq, k, 1, invs=invs
+            )[:, 0]
         else:
             s = mu
         return mu, std, s

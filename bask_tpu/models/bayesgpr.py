@@ -248,13 +248,15 @@ def _sample_y_marginal(
         # vanishingly rare, and the ladder would triple the batched
         # factorization cost of every diagnostics/PVRS draw (the
         # acquisition path makes the same trade, acquisition.py)
-        post = gpc.posterior(kernel, theta_gp, d)
+        post, invs = gpc.posterior_and_invs(kernel, theta_gp, d)
         theta_diag = (
             theta_gp
             if include_noise
             else gpc.noise_free_theta(kernel, theta_gp, white_idx)
         )
-        return gpc.sample_y(kernel, theta_diag, post, d, Xq_w, k, 1)[:, 0]
+        return gpc.sample_y(
+            kernel, theta_diag, post, d, Xq_w, k, 1, invs=invs
+        )[:, 0]
 
     return jax.vmap(one)(chain_rows, keys)
 

@@ -33,6 +33,7 @@ __all__ = [
     "GPPosterior",
     "make_data",
     "posterior",
+    "posterior_and_invs",
     "log_marginal_likelihood",
     "predict",
     "predict_mean",
@@ -83,6 +84,35 @@ def posterior(kernel, theta, data: GPData) -> GPPosterior:
     return GPPosterior(theta=theta, L=L, alpha_dual=alpha_dual)
 
 
+def posterior_and_invs(kernel, theta, data: GPData):
+    """Like :func:`posterior`, additionally returning the cached
+    diagonal-block inverses of the factor when the f32 blocked fast path
+    applies (else ``None``).
+
+    The inverses come free from ``block_cholesky`` and let
+    :func:`predict` replace XLA's latency-bound triangular substitution
+    with pure MXU matmuls — the marginalized-acquisition hot path, where
+    each hyperposterior draw solves against hundreds of candidates.
+    """
+    from ..ops import linalg as _lin
+
+    Kp = masked_gram(kernel, theta, data.X, data.alpha_diag, data.mask)
+    if not _lin._use_fast_path(Kp):
+        L = masked_cholesky(Kp)
+        return GPPosterior(theta=theta, L=L, alpha_dual=cho_solve_masked(L, data.y)), None
+    from ..ops.fast_cholesky import (
+        block_cholesky,
+        block_solve_lower_mat,
+        block_solve_upper_mat,
+    )
+
+    L, invs = block_cholesky(Kp)
+    invs = tuple(invs)
+    w = block_solve_lower_mat(L, invs, data.y[..., :, None])
+    alpha_dual = block_solve_upper_mat(L, invs, w)[..., 0]
+    return GPPosterior(theta=theta, L=L, alpha_dual=alpha_dual), invs
+
+
 def log_marginal_likelihood(kernel, theta, data: GPData):
     """Scalar LML; -inf when the gram is not positive definite."""
     from ..ops.linalg import masked_lml
@@ -125,6 +155,7 @@ def predict(
     Xq,
     return_std=False,
     return_cov=False,
+    invs=None,
 ):
     """Predictive mean and uncertainty.
 
@@ -133,17 +164,22 @@ def predict(
     uncertainty only (the factorized state in ``post`` keeps the noisy
     theta, matching reference semantics where ``noise_set_to_zero`` does
     not recompute ``alpha_``/``K_inv_``).
+
+    ``invs``: optional cached diagonal-block inverses from
+    :func:`posterior_and_invs` — routes the cross-gram solve through
+    MXU matmuls instead of XLA's substitution. (Computing fresh inverses
+    just for this solve measured slower — only pass cached ones.)
     """
     Ks = _cross(kernel, theta_diag, Xq, data)
     mean = data.y_mean + data.y_std * (Ks @ post.alpha_dual)
     if not (return_std or return_cov):
         return mean
-    # NB: measured on v5e — the blocked matmul solve
-    # (ops.fast_cholesky.block_forward_solve_matrix) is SLOWER here
-    # (436k vs 601k acq evals/s): without a factorization to amortize
-    # them, the fresh Newton block inverses cost more than XLA's
-    # substitution saves. Keep the plain solve.
-    v = solve_triangular(post.L, Ks.T, lower=True)  # (n_pad, m)
+    if invs is not None:
+        from ..ops.fast_cholesky import block_solve_lower_mat
+
+        v = block_solve_lower_mat(post.L, invs, Ks.T)  # (n_pad, m)
+    else:
+        v = solve_triangular(post.L, Ks.T, lower=True)  # (n_pad, m)
     if return_cov:
         Kqq = kernel.eval(theta_diag, Xq, None)
         cov = (Kqq - v.T @ v) * data.y_std**2
@@ -161,6 +197,7 @@ def sample_y(
     Xq,
     key,
     n_samples: int = 1,
+    invs=None,
 ):
     """Draw joint samples from the predictive distribution: (m, n_samples).
 
@@ -171,7 +208,7 @@ def sample_y(
     no added noise; NaN inputs still propagate to NaN draws.
     """
     mean, cov = predict(
-        kernel, theta_diag, post, data, Xq, return_cov=True
+        kernel, theta_diag, post, data, Xq, return_cov=True, invs=invs
     )
     evals, evecs = jnp.linalg.eigh(cov)
     factor = evecs * jnp.sqrt(jnp.maximum(evals, 0.0))[None, :]

@@ -40,7 +40,14 @@ def _mm(a, b):
     destroys LML accuracy)."""
     return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
 
-__all__ = ["tri_newton_inv", "block_cholesky", "block_forward_solve", "fast_lml_terms"]
+__all__ = [
+    "tri_newton_inv",
+    "block_cholesky",
+    "block_forward_solve",
+    "block_solve_lower_mat",
+    "block_solve_upper_mat",
+    "fast_lml_terms",
+]
 
 _BASE = 32
 # Base-case implementation: "unrolled" emits _BASE fully unrolled rank-1
@@ -207,13 +214,48 @@ def block_forward_solve(L, invs, y, nb: int | None = None):
     return jnp.concatenate(ws, axis=-1)
 
 
-# NOTE (measured on v5e, r2): a blocked-matmul *matrix-RHS* forward
-# solve (Newton diagonal-block inverses + T(T+1)/2 block matmuls) was
-# tried for the prediction/acquisition solve and REVERTED — without a
-# factorization to amortize the fresh block inverses it measured 436k
-# vs 601k acquisition evals/s against XLA's substitution. The vector
-# solve below stays fast because block_cholesky hands it the inverses
-# for free.
+# NOTE (measured on v5e, r2): a matrix-RHS forward solve that computed
+# its own Newton block inverses per call was tried for the prediction
+# path and REVERTED — it measured 436k vs 601k acquisition evals/s
+# against XLA's substitution. The *cached-inverse* variants below avoid
+# that trap: they only apply inverses block_cholesky already produced.
+
+
+def block_solve_lower_mat(L, invs, Y, nb: int | None = None):
+    """W = L^-1 Y with cached diagonal-block inverses; Y is (..., n, m)."""
+    n = L.shape[-1]
+    if nb is None:
+        nb = pick_nb(n)
+    if n <= nb:
+        return _mm(invs[0], Y)
+    T = n // nb
+    ws = []
+    for j in range(T):
+        lo, hi = j * nb, (j + 1) * nb
+        rhs = Y[..., lo:hi, :]
+        for k in range(j):
+            rhs = rhs - _mm(L[..., lo:hi, k * nb : (k + 1) * nb], ws[k])
+        ws.append(_mm(invs[j], rhs))
+    return jnp.concatenate(ws, axis=-2)
+
+
+def block_solve_upper_mat(L, invs, Y, nb: int | None = None):
+    """X = L^-T Y with cached diagonal-block inverses; Y is (..., n, m)."""
+    n = L.shape[-1]
+    if nb is None:
+        nb = pick_nb(n)
+    if n <= nb:
+        return _mm(jnp.swapaxes(invs[0], -1, -2), Y)
+    T = n // nb
+    xs = [None] * T
+    for j in range(T - 1, -1, -1):
+        lo, hi = j * nb, (j + 1) * nb
+        rhs = Y[..., lo:hi, :]
+        for k in range(j + 1, T):
+            Lkj = L[..., k * nb : (k + 1) * nb, lo:hi]
+            rhs = rhs - _mm(jnp.swapaxes(Lkj, -1, -2), xs[k])
+        xs[j] = _mm(jnp.swapaxes(invs[j], -1, -2), rhs)
+    return jnp.concatenate(xs, axis=-2)
 
 
 def fast_lml_terms(Kp, y, nb: int | None = None):

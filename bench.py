@@ -144,13 +144,14 @@ def bench_tpu():
     )
     kacq = jax.random.PRNGKey(0)
 
+    ei = ExpectedImprovement()
+
+    @jax.jit
     def acq_pass():
         mu, std, _ = _per_draw_predictions(
             kernel, rows, data, Xc, kacq, 0, kernel.n_theta - 1, False
         )
-        ei = ExpectedImprovement()
-        vals = jax.vmap(lambda m, s: ei(m, s))(mu, std)
-        return vals
+        return jax.vmap(lambda m, s: ei(m, s))(mu, std)
 
     v = acq_pass()
     float(v[0, 0])  # compile+sync

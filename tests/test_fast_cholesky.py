@@ -80,3 +80,75 @@ def test_fast_lml_matches_slow_path():
     finally:
         linalg.FAST_CHOLESKY = old
     np.testing.assert_allclose(fast, slow, rtol=1e-8)
+
+
+def test_block_solves_with_cached_invs_match_xla():
+    from jax.scipy.linalg import solve_triangular
+
+    from bask_tpu.ops.fast_cholesky import (
+        block_cholesky,
+        block_solve_lower_mat,
+        block_solve_upper_mat,
+    )
+
+    rng = np.random.RandomState(0)
+    for n, m, batch in ((128, 37, ()), (256, 200, (4,)), (64, 8, ())):
+        B = rng.randn(*batch, n, n)
+        A = jnp.asarray(B @ np.swapaxes(B, -1, -2) + n * np.eye(n))
+        L, invs = block_cholesky(A)
+        invs = tuple(invs)
+        Y = jnp.asarray(rng.randn(*batch, n, m))
+        low = np.asarray(block_solve_lower_mat(L, invs, Y))
+        ref_low = np.asarray(solve_triangular(L, Y, lower=True))
+        np.testing.assert_allclose(low, ref_low, rtol=1e-9, atol=1e-10)
+        up = np.asarray(block_solve_upper_mat(L, invs, Y))
+        ref_up = np.asarray(
+            solve_triangular(jnp.swapaxes(L, -1, -2), Y, lower=False)
+        )
+        np.testing.assert_allclose(up, ref_up, rtol=1e-9, atol=1e-10)
+
+
+def test_posterior_and_invs_f32_predict_parity():
+    """The f32 cached-inverse predict path matches the XLA substitution
+    path (the f64 suite never takes it — force both here)."""
+    from bask_tpu.models import gp as gpc
+    from bask_tpu.ops import kernels as bk, linalg
+
+    rng = np.random.RandomState(1)
+    n_pad, n, d = 128, 100, 3
+    X = np.full((n_pad, d), 0.5)
+    X[:n] = rng.uniform(size=(n, d))
+    y = np.zeros(n_pad)
+    y[:n] = np.sin(3 * X[:n, 0])
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
+        (0.3,) * d, (0.05, 2.0), nu=2.5
+    ) + bk.WhiteKernel(0.01, (1e-5, 1e5))
+    data = gpc.make_data(
+        jnp.asarray(X, dtype=jnp.float32),
+        jnp.asarray(y, dtype=jnp.float32),
+        jnp.full(n_pad, 1e-6, dtype=jnp.float32),
+        jnp.asarray(np.arange(n_pad) < n),
+    )
+    theta = jnp.asarray(kernel.theta0, dtype=jnp.float32)
+    Xq = jnp.asarray(rng.uniform(size=(50, d)), dtype=jnp.float32)
+
+    prev = linalg.FAST_CHOLESKY
+    try:
+        linalg.FAST_CHOLESKY = "off"
+        post0, invs0 = gpc.posterior_and_invs(kernel, theta, data)
+        assert invs0 is None
+        mu0, s0 = gpc.predict(kernel, theta, post0, data, Xq, return_std=True)
+        linalg.FAST_CHOLESKY = "on"
+        post1, invs1 = gpc.posterior_and_invs(kernel, theta, data)
+        assert invs1 is not None
+        mu1, s1 = gpc.predict(
+            kernel, theta, post1, data, Xq, return_std=True, invs=invs1
+        )
+    finally:
+        linalg.FAST_CHOLESKY = prev
+    np.testing.assert_allclose(
+        np.asarray(mu1), np.asarray(mu0), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s0), rtol=1e-3, atol=1e-5
+    )
