@@ -7,13 +7,14 @@ factorization as *pure batched matmuls* plus a tiny base case:
 
 * recursive 2x2 block Cholesky:  A = [[A11, .], [A21, A22]] ->
   L11 = chol(A11), L21 = A21 L11^-T, L22 = chol(A22 - L21 L21^T),
-* the triangular inverse L11^-1 is computed with Newton–Schulz
-  iterations  X <- X (2I - L X).  For a lower-triangular L with exact
-  diagonal seed the error  E = I - X L  is strictly lower triangular,
-  hence *nilpotent*, and squares each iteration — the inverse is EXACT
-  after ceil(log2(m)) iterations, with every step a batched matmul on
-  the MXU,
-* the base case (<= 32) falls back to XLA's cholesky, whose loop is
+* the factor's inverse is assembled IN the same recursion — the
+  sub-inverses the off-diagonal panel already needs give the parent via
+  inv([[L11,0],[L21,L22]]) = [[inv11,0],[-inv22 (L21 inv11), inv22]],
+  two matmuls per level (a separate whole-block Newton–Schulz inverse
+  was the serial-op-count bottleneck),
+* only the small base case (<= 32) uses a Newton–Schulz inverse
+  (X <- X (2I - L X): the residual is nilpotent, so it is EXACT after
+  ceil(log2(m)) iterations) on top of XLA's cholesky, whose loop is
   short at that size.
 
 Non-PD inputs surface as NaNs in a base-case factor and propagate
@@ -29,7 +30,7 @@ latency-bound length-n triangular solve.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 
 import jax.numpy as jnp
 from jax import lax
@@ -107,29 +108,42 @@ def tri_newton_inv(L, m: int | None = None):
     return jnp.tril(X)
 
 
-def _chol_recursive(A):
+def _chol_inv_recursive(A):
+    """(L, L^-1) built together: the sub-inverses the recursion already
+    needs for the off-diagonal panel assemble the parent inverse with
+    TWO extra matmuls via  inv([[L11,0],[L21,L22]]) =
+    [[inv11, 0], [-inv22 (L21 inv11), inv22]]  — replacing the separate
+    ceil(log2 n)-iteration Newton inverse of the full block (the
+    factorization's serial-op-count bottleneck on TPU)."""
     n = A.shape[-1]
     if n <= _BASE:
-        return _base_chol(A)
+        L = _base_chol(A)
+        return L, tri_newton_inv(L, n)
     h = n // 2
     A11 = A[..., :h, :h]
     A21 = A[..., h:, :h]
     A22 = A[..., h:, h:]
-    L11 = _chol_recursive(A11)
-    L11_inv = tri_newton_inv(L11, h)
-    L21 = _mm(A21, jnp.swapaxes(L11_inv, -1, -2))
+    L11, inv11 = _chol_inv_recursive(A11)
+    L21 = _mm(A21, jnp.swapaxes(inv11, -1, -2))
     S = A22 - _mm(L21, jnp.swapaxes(L21, -1, -2))
-    L22 = _chol_recursive(S)
-    top = jnp.concatenate(
-        [L11, jnp.zeros_like(A[..., :h, h:])], axis=-1
+    L22, inv22 = _chol_inv_recursive(S)
+    zeros = jnp.zeros_like(A[..., :h, h:])
+    L = jnp.concatenate(
+        [
+            jnp.concatenate([L11, zeros], axis=-1),
+            jnp.concatenate([L21, L22], axis=-1),
+        ],
+        axis=-2,
     )
-    bot = jnp.concatenate([L21, L22], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
-
-
-@partial(jnp.vectorize, signature="(n,n)->(n,n)")
-def _chol_vec(A):  # pragma: no cover - thin wrapper
-    return _chol_recursive(A)
+    inv21 = -_mm(inv22, _mm(L21, inv11))
+    inv = jnp.concatenate(
+        [
+            jnp.concatenate([inv11, zeros], axis=-1),
+            jnp.concatenate([inv21, inv22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return L, inv
 
 
 def pick_nb(n: int) -> int:
@@ -157,8 +171,8 @@ def block_cholesky(A, nb: int | None = None):
     if nb is None:
         nb = pick_nb(n)
     if n <= nb:
-        L = _chol_recursive(A)
-        return L, [tri_newton_inv(L, n)]
+        L, L_inv = _chol_inv_recursive(A)
+        return L, [L_inv]
     assert n % nb == 0, f"n={n} must be a multiple of nb={nb}"
     T = n // nb
     M = A
@@ -168,8 +182,7 @@ def block_cholesky(A, nb: int | None = None):
         lo = j * nb
         hi = lo + nb
         D = M[..., lo:hi, lo:hi]
-        Ld = _chol_recursive(D)
-        Ld_inv = tri_newton_inv(Ld, nb)
+        Ld, Ld_inv = _chol_inv_recursive(D)
         invs.append(Ld_inv)
         below = M[..., hi:, lo:hi]
         P = _mm(below, jnp.swapaxes(Ld_inv, -1, -2))
