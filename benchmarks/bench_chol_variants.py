@@ -43,6 +43,8 @@ def main():
             nb = 64
         if "nb256" in variant:
             nb = 256
+        if "nb512" in variant:
+            nb = 512  # whole matrix through the recursion, no panels
         if "high" in variant:
             # 3-pass bf16 matmuls instead of the 6-pass HIGHEST
             fc._mm = lambda a, b: jnp.matmul(

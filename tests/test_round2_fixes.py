@@ -205,3 +205,30 @@ def test_ask_batch_fallback_caps_grid(monkeypatch):
     pts = opt.ask(n_points=3)
     assert len(pts) == 3
     assert sizes["m"] == 2048  # fallback grid capped, not the full 4096
+
+
+def test_tell_progress_true_end_to_end():
+    """progress=True through Optimizer.tell: chunked chain + dispatcher
+    bar, same results as progress=False (chain identity is pinned in
+    test_bayesgpr; here the full tell path must simply work)."""
+    from bask_tpu import Optimizer
+
+    results = []
+    for progress in (False, True):
+        opt = Optimizer(
+            dimensions=[(0.0, 1.0)],
+            n_initial_points=2,
+            init_strategy="random",
+            n_points=32,
+            random_state=5,
+        )
+        opt.tell(
+            [[0.2], [0.8], [0.5]],
+            [0.3, 0.1, -0.2],
+            n_samples=2,
+            gp_samples=20,
+            gp_burnin=2,
+            progress=progress,
+        )
+        results.append(opt.ask())
+    assert results[0] == results[1]
