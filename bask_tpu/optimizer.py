@@ -259,6 +259,37 @@ class Optimizer:
             self.space.rvs(n_samples=self.n_points, random_state=self.rng)
         )
 
+    @staticmethod
+    def _coerce_observations(x, y, noise_vector):
+        """Normalize a tell() payload to parallel lists (X, y, noise).
+
+        Accepts either one point (``x`` list-like, ``y`` scalar, noise
+        scalar/None) or a batch (``x`` 2-D list-like, ``y`` list-like,
+        noise list-like/None). Mixed or mismatched shapes raise.
+        """
+        batched = _is_listlike(y) and _is_2dlistlike(x)
+        if batched:
+            xs = [list(p) for p in x]
+            ys = [float(v) for v in y]
+            if noise_vector is None:
+                return xs, ys, [0.0] * len(ys)
+            bad = not _is_listlike(noise_vector) or len(noise_vector) != len(ys)
+            if bad:
+                raise ValueError(
+                    "Vector of noise variances needs to be of equal length as y."
+                )
+            return xs, ys, [float(v) for v in noise_vector]
+        if not _is_listlike(x):
+            raise ValueError(
+                f"Incompatible argument types: x ({type(x)}) and y ({type(y)})"
+            )
+        if _is_listlike(noise_vector):
+            raise ValueError(
+                "Vector of noise variances passed with a single point."
+            )
+        noise = 0.0 if noise_vector is None else float(noise_vector)
+        return [list(x)], [float(y)], [noise]
+
     def tell(
         self,
         x,
@@ -276,32 +307,11 @@ class Optimizer:
         if replace:
             self.Xi, self.yi, self.noisei = [], [], []
             self._n_initial_points = self.n_initial_points_
-        if _is_listlike(y) and _is_2dlistlike(x):
-            self.Xi.extend([list(p) for p in x])
-            self.yi.extend([float(v) for v in y])
-            if noise_vector is None:
-                noise_vector = [0.0] * len(y)
-            elif not _is_listlike(noise_vector) or len(noise_vector) != len(y):
-                raise ValueError(
-                    "Vector of noise variances needs to be of equal length as y."
-                )
-            self.noisei.extend([float(v) for v in noise_vector])
-            self._n_initial_points -= len(y)
-        elif _is_listlike(x):
-            self.Xi.append(list(x))
-            self.yi.append(float(y))
-            if noise_vector is None:
-                noise_vector = 0.0
-            elif _is_listlike(noise_vector):
-                raise ValueError(
-                    "Vector of noise variances passed with a single point."
-                )
-            self.noisei.append(float(noise_vector))
-            self._n_initial_points -= 1
-        else:
-            raise ValueError(
-                f"Incompatible argument types: x ({type(x)}) and y ({type(y)})"
-            )
+        xs, ys, ns = self._coerce_observations(x, y, noise_vector)
+        self.Xi += xs
+        self.yi += ys
+        self.noisei += ns
+        self._n_initial_points -= len(ys)
 
         if fit and self._n_initial_points <= 0:
             import time as _time
