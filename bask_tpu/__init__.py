@@ -46,6 +46,7 @@ from .utils.serialization import (  # noqa: F401
     save_gpr,
     save_optimizer,
 )
+from .utils.aot import disable_aot_cache, enable_aot_cache  # noqa: F401
 from .utils.validation import validate_zeroone  # noqa: F401
 from .utils.warmup import warmup_optimizer  # noqa: F401
 
@@ -89,5 +90,7 @@ __all__ = [
     "create_result",
     "expected_minimum",
     "warmup_optimizer",
+    "enable_aot_cache",
+    "disable_aot_cache",
     "__version__",
 ]

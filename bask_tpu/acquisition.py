@@ -30,6 +30,7 @@ import numpy as np
 from .models import gp as gpc
 from .models import warping as wpm
 from .ops.linalg import augmented_quadform
+from .utils.aot import aot_call
 from .utils.stats import norm_cdf, norm_logcdf, norm_pdf
 
 __all__ = [
@@ -180,7 +181,7 @@ class ThompsonSampling(SampleAcquisition):
 
 
 @partial(jax.jit, static_argnames=("kernel",))
-def _variance_explained(kernel, theta, post, data, X_cand, P):
+def _variance_explained(theta, post, data, X_cand, P, *, kernel):
     """Total predictive variance at probe points P explained after
     augmenting the training set with each candidate (the PVRS/VR score).
 
@@ -208,8 +209,10 @@ class VarianceReduction(FullGPAcquisition):
         X = np.asarray(X)
         Xw = jnp.asarray(gp.warp(X), dtype=gp._dtype())
         theta = jnp.asarray(gp._theta, dtype=gp._dtype())
-        vals = _variance_explained(
-            gp.kernel_, theta, gp._post, gp._post_data, Xw, Xw
+        vals = aot_call(
+            _variance_explained,
+            theta, gp._post, gp._post_data, Xw, Xw,
+            kernel=gp._spec,
         )
         return np.asarray(vals)
 
@@ -226,13 +229,14 @@ class PVRS(FullGPAcquisition):
         Xw = np.asarray(gp.warp(X))
         thompson_points = Xw[np.argmin(ts, axis=0)]
         theta = jnp.asarray(gp._theta, dtype=gp._dtype())
-        vals = _variance_explained(
-            gp.kernel_,
+        vals = aot_call(
+            _variance_explained,
             theta,
             gp._post,
             gp._post_data,
             jnp.asarray(Xw, dtype=gp._dtype()),
             jnp.asarray(thompson_points, dtype=gp._dtype()),
+            kernel=gp._spec,
         )
         return np.asarray(vals)
 
@@ -247,7 +251,7 @@ class PVRS(FullGPAcquisition):
     static_argnames=("kernel", "n_warp", "white_idx", "need_sample"),
 )
 def _per_draw_predictions(
-    kernel, rows, data, X, key, n_warp, white_idx, need_sample
+    rows, data, X, key, *, kernel, n_warp, white_idx, need_sample
 ):
     """mu/std (and optional function draw) for each hyperposterior row.
 
@@ -331,15 +335,16 @@ def evaluate_acquisitions(
     rows = jnp.asarray(gpr.chain_[idx], dtype=gpr._dtype())
     n_warp = gpr._X_orig.shape[1] if gpr.warp_inputs else 0
     key = jax.random.PRNGKey(rs.randint(0, 2**31 - 1))
-    mu_s, std_s, samp_s = _per_draw_predictions(
-        gpr.kernel_,
+    mu_s, std_s, samp_s = aot_call(
+        _per_draw_predictions,
         rows,
         gpr._data,
         jnp.asarray(X, dtype=gpr._dtype()),
         key,
-        n_warp,
-        gpr.white_index_,
-        need_sample,
+        kernel=gpr._spec,
+        n_warp=n_warp,
+        white_idx=gpr.white_index_,
+        need_sample=need_sample,
     )
 
     acq_keys = jax.random.split(

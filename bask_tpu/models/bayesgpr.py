@@ -25,6 +25,8 @@ TPU-first design differences from the reference:
 from __future__ import annotations
 
 import math
+import warnings
+import weakref
 from contextlib import contextmanager
 from functools import partial
 from typing import Optional
@@ -36,6 +38,7 @@ import numpy as np
 from ..ops import kernels as bk
 from ..ops.linalg import masked_cholesky, masked_gram, cho_solve_masked
 from ..parallel.mcmc import flatten_chain, run_ensemble
+from ..utils.aot import aot_call
 from ..utils.median import geometric_median
 from ..utils.priors import guess_priors
 from . import gp as gpc
@@ -59,6 +62,52 @@ def _bucket(n: int) -> int:
 # Jitted entry points (module-level so the cache survives across facade
 # calls; all static args are hashable and reused between calls)
 # ---------------------------------------------------------------------------
+
+
+# Host-callback adapters for NumPy/SciPy priors (reference users pass
+# e.g. ``lambda x: halfnorm(scale=2).logpdf(...)``; those are not JAX-
+# traceable). Cached by prior identity so the jitted chain — which takes
+# the priors tuple as a static argument — is not recompiled per tell.
+_HOST_PRIOR_CACHE = weakref.WeakKeyDictionary()
+
+
+def _host_prior_wrapper(p, joint: bool = False):
+    """Wrap a host-only log-prior in ``jax.pure_callback``.
+
+    ``joint=False``: ``p`` maps one log-theta scalar to a log-density
+    (evaluated elementwise via ``np.vectorize`` so plain-Python and
+    NumPy/SciPy callables both batch over walkers). ``joint=True``:
+    ``p`` maps the whole theta vector to one log-density.
+    """
+    if joint:
+        def host_prior(x):
+            def call(v):
+                out = p(np.asarray(v, dtype=np.float64))
+                return np.asarray(out, dtype=np.float64).astype(x.dtype)
+
+            return jax.pure_callback(
+                call,
+                jax.ShapeDtypeStruct((), x.dtype),
+                x,
+                vmap_method="sequential",
+            )
+
+        return host_prior
+
+    vec = np.vectorize(p, otypes=[np.float64])
+
+    def host_prior(x):
+        def call(v):
+            return vec(np.asarray(v, dtype=np.float64)).astype(x.dtype)
+
+        return jax.pure_callback(
+            call,
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            x,
+            vmap_method="expand_dims",
+        )
+
+    return host_prior
 
 
 def _eval_priors(priors, theta_gp):
@@ -124,6 +173,12 @@ def _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data):
     return log_prob_batch
 
 
+# NB: the three chain entry points take their DYNAMIC arguments
+# positionally and every static argument keyword-only — the contract
+# :func:`bask_tpu.utils.aot.aot_call` relies on to call a cached
+# serialized executable (which accepts only the dynamic arguments).
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -131,7 +186,7 @@ def _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data):
     ),
 )
 def _run_chain(
-    kernel, priors, warp_prior, n_warp, data, pos0, key, n_steps, a=2.0
+    data, pos0, key, *, kernel, priors, warp_prior, n_warp, n_steps, a=2.0
 ):
     log_prob = _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data)
     return run_ensemble(log_prob, pos0, key, n_steps, a=a)
@@ -140,7 +195,7 @@ def _run_chain(
 @partial(
     jax.jit, static_argnames=("kernel", "priors", "warp_prior", "n_warp")
 )
-def _init_chain_state(kernel, priors, warp_prior, n_warp, data, pos):
+def _init_chain_state(data, pos, *, kernel, priors, warp_prior, n_warp):
     from ..parallel.mcmc import init_ensemble
 
     log_prob = _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data)
@@ -152,7 +207,7 @@ def _init_chain_state(kernel, priors, warp_prior, n_warp, data, pos):
     static_argnames=("kernel", "priors", "warp_prior", "n_warp", "a"),
 )
 def _run_chain_chunk(
-    kernel, priors, warp_prior, n_warp, data, state, keys, a=2.0
+    data, state, keys, *, kernel, priors, warp_prior, n_warp, a=2.0
 ):
     """Advance an existing ensemble state by ``len(keys)`` steps.
 
@@ -173,7 +228,7 @@ def _run_chain_chunk(
 
 
 @partial(jax.jit, static_argnames=("kernel",))
-def _lml_value_grad(kernel, theta, data):
+def _lml_value_grad(theta, data, *, kernel):
     """Value+grad of the LML for the ML-II warm start.
 
     Always differentiates the plain XLA Cholesky path (never the
@@ -205,7 +260,7 @@ def _lml_value_grad(kernel, theta, data):
 
 
 @partial(jax.jit, static_argnames=("kernel",))
-def _posterior_robust(kernel, theta, data):
+def _posterior_robust(theta, data, *, kernel):
     """Posterior factorization with a branchless jitter ladder."""
     Kp = masked_gram(kernel, theta, data.X, data.alpha_diag, data.mask)
     scale = jnp.mean(jnp.abs(jnp.diagonal(Kp)))
@@ -231,7 +286,8 @@ def _posterior_robust(kernel, theta, data):
     ),
 )
 def _sample_y_marginal(
-    kernel, chain_rows, data, Xq, key, n_warp, include_noise, white_idx, n_total
+    chain_rows, data, Xq, key, *,
+    kernel, n_warp, include_noise, white_idx, n_total,
 ):
     """One predictive draw per hyperposterior row: (S, m)."""
     keys = jax.random.split(key, chain_rows.shape[0])
@@ -266,7 +322,6 @@ def _sample_y_marginal(
     static_argnames=("kernel", "return_std", "return_cov", "n_warp"),
 )
 def _predict(
-    kernel,
     theta,
     theta_diag,
     post,
@@ -274,6 +329,8 @@ def _predict(
     Xq,
     warp_a,
     warp_b,
+    *,
+    kernel,
     n_warp,
     return_std,
     return_cov,
@@ -293,7 +350,7 @@ def _predict(
 
 @partial(jax.jit, static_argnames=("kernel", "n_warp"))
 def _predict_grads(
-    kernel, theta_diag, post, data, Xq, warp_a, warp_b, n_warp
+    theta_diag, post, data, Xq, warp_a, warp_b, *, kernel, n_warp
 ):
     """Gradients of predictive mean and std wrt each query point."""
 
@@ -316,7 +373,9 @@ def _predict_grads(
 @partial(
     jax.jit, static_argnames=("spec", "n_samples", "n_features", "k")
 )
-def _pathwise_topk(spec, theta, data, L, Xq, key, n_samples, n_features, k):
+def _pathwise_topk(
+    theta, data, L, Xq, key, *, spec, n_samples, n_features, k
+):
     """Pathwise draws + per-draw top-k minimizers, all on device."""
     from .pathwise import pathwise_samples
 
@@ -335,8 +394,11 @@ class BayesGPR:
     jitter, ``normalize_y``, ``warp_inputs``, ``random_state``, and
     ``noise="gaussian"`` which appends a WhiteKernel to the user kernel.
 
-    Priors must be jit-traceable callables of a scalar log-parameter
-    (see :mod:`bask_tpu.utils.priors`).
+    Priors are callables of a scalar log-parameter. jit-traceable ones
+    (see :mod:`bask_tpu.utils.priors`) run fully on device;
+    NumPy/SciPy-style priors ported from reference code are routed
+    through a host callback automatically (slower; requires a backend
+    with host-callback support).
     """
 
     def __init__(
@@ -368,7 +430,7 @@ class BayesGPR:
         else:
             self.random_state = np.random.RandomState(random_state)
 
-        self.kernel_: Optional[bk.Kernel] = None  # spec incl. White
+        self._spec: Optional[bk.Kernel] = None  # spec incl. White
         self.chain_: Optional[np.ndarray] = None
         self.pos_: Optional[np.ndarray] = None
         self.noise_: Optional[float] = None
@@ -386,6 +448,27 @@ class BayesGPR:
         self._priors_cache = None
 
     # -- basic properties --------------------------------------------------
+
+    @property
+    def kernel_(self):
+        """Fitted kernel spec with the consensus hyperparameters baked in.
+
+        Reference parity: sklearn GPR's ``kernel_`` carries the fitted
+        theta (the reference reads/writes ``kernel_.theta``,
+        ``bask/bayesgpr.py:163,200-217``). Internally the *pristine*
+        spec (``self._spec``) is the jit static argument — reading this
+        property never changes compile-cache keys.
+        """
+        if self._spec is None:
+            return None
+        t = self._theta
+        if t is None or np.isnan(np.asarray(t, dtype=float)).any():
+            return self._spec
+        return self._spec.with_theta(np.asarray(t, dtype=float))
+
+    @kernel_.setter
+    def kernel_(self, value):
+        self._spec = value
 
     @property
     def X_train_(self):
@@ -463,9 +546,9 @@ class BayesGPR:
 
     @property
     def white_index_(self):
-        if self.kernel_ is None:
+        if self._spec is None:
             return None
-        return bk.white_theta_index(self.kernel_)
+        return bk.white_theta_index(self._spec)
 
     # -- data management ---------------------------------------------------
 
@@ -533,8 +616,11 @@ class BayesGPR:
                     jnp.asarray(self.warp_betas_, dtype=data.X.dtype),
                 )
             )
-        self._post = _posterior_robust(
-            self.kernel_, jnp.asarray(self._theta, dtype=data.X.dtype), data
+        self._post = aot_call(
+            _posterior_robust,
+            jnp.asarray(self._theta, dtype=data.X.dtype),
+            data,
+            kernel=self._spec,
         )
         self._post_data = data
 
@@ -549,13 +635,15 @@ class BayesGPR:
         """
         from scipy.optimize import minimize
 
-        kernel = self.kernel_
+        kernel = self._spec
         data = self._data
         bounds = kernel.bounds
         dt = self._dtype()
 
         def obj(t):
-            v, g = _lml_value_grad(kernel, jnp.asarray(t, dtype=dt), data)
+            v, g = aot_call(
+                _lml_value_grad, jnp.asarray(t, dtype=dt), data, kernel=kernel
+            )
             v = float(v)
             g = np.asarray(g, dtype=float)
             if not np.isfinite(v):
@@ -604,11 +692,43 @@ class BayesGPR:
     def _resolve_priors(self, priors):
         if priors is None:
             if self._priors_cache is None:
-                self._priors_cache = tuple(guess_priors(self.kernel_))
+                self._priors_cache = tuple(guess_priors(self._spec))
             return self._priors_cache
         if callable(priors):
-            return priors
-        return tuple(priors)
+            return self._traceable_or_host(priors, joint=True)
+        return tuple(self._traceable_or_host(p) for p in priors)
+
+    def _traceable_or_host(self, p, joint: bool = False):
+        """Return ``p`` if it traces under JAX, else a cached
+        ``pure_callback`` adapter (reference users pass NumPy/SciPy
+        priors, ``bask/bayesgpr.py:368-372`` — those must keep working,
+        at host-round-trip cost)."""
+        shape = (self._spec.n_theta,) if joint else ()
+        try:
+            jax.eval_shape(p, jax.ShapeDtypeStruct(shape, self._dtype()))
+            return p
+        except Exception:
+            pass
+        try:
+            cached = _HOST_PRIOR_CACHE.get(p)
+        except TypeError:  # unhashable / non-weakrefable callable
+            cached = None
+        if cached is not None:
+            return cached
+        warnings.warn(
+            "A gp prior is not JAX-traceable and will run through a host "
+            "callback each MCMC step — functional, but slow on TPU. "
+            "Write priors with jax.numpy (see bask_tpu.utils.priors) for "
+            "full on-device speed.",
+            UserWarning,
+            stacklevel=3,
+        )
+        wrapper = _host_prior_wrapper(p, joint=joint)
+        try:
+            _HOST_PRIOR_CACHE[p] = wrapper
+        except TypeError:
+            pass
+        return wrapper
 
     def sample(
         self,
@@ -640,7 +760,7 @@ class BayesGPR:
         stretch move's complementary-half gather becomes the only
         collective). Results are identical to the unsharded run.
         """
-        if (X is None and self._X_orig is None) or self.kernel_ is None:
+        if (X is None and self._X_orig is None) or self._spec is None:
             raise ValueError(
                 "No data to sample from: pass X and y or call fit first."
             )
@@ -661,7 +781,7 @@ class BayesGPR:
             # callable convention, caching by identity for jit stability
             warp_priors = self._adapt_warp_priors(tuple(warp_priors))
 
-        n_gp_dim = self.kernel_.n_theta
+        n_gp_dim = self._spec.n_theta
         n_warp = self._X_orig.shape[1] if self.warp_inputs else 0
         n_dim = n_gp_dim + 2 * n_warp
         n_walkers = max(2, n_threads * n_walkers_per_thread)
@@ -703,8 +823,14 @@ class BayesGPR:
             from ..utils.progress import get_progress_bar
 
             keys = jax.random.split(key, n_steps)
-            state = _init_chain_state(
-                self.kernel_, priors, warp_priors, n_warp, self._data, pos_dev
+            state = aot_call(
+                _init_chain_state,
+                self._data,
+                pos_dev,
+                kernel=self._spec,
+                priors=priors,
+                warp_prior=warp_priors,
+                n_warp=n_warp,
             )
             chunk = 8
             parts = []
@@ -712,14 +838,15 @@ class BayesGPR:
             i = 0
             while i < n_steps:
                 ks = keys[i : i + chunk]
-                part, state = _run_chain_chunk(
-                    self.kernel_,
-                    priors,
-                    warp_priors,
-                    n_warp,
+                part, state = aot_call(
+                    _run_chain_chunk,
                     self._data,
                     state,
                     ks,
+                    kernel=self._spec,
+                    priors=priors,
+                    warp_prior=warp_priors,
+                    n_warp=n_warp,
                     a=a_scale,
                 )
                 parts.append(part)
@@ -729,15 +856,16 @@ class BayesGPR:
             chain_dev = jnp.concatenate(parts, axis=0)
             final = state
         else:
-            chain_dev, final = _run_chain(
-                self.kernel_,
-                priors,
-                warp_priors,
-                n_warp,
+            chain_dev, final = aot_call(
+                _run_chain,
                 self._data,
                 pos_dev,
                 key,
-                n_steps,
+                kernel=self._spec,
+                priors=priors,
+                warp_prior=warp_priors,
+                n_warp=n_warp,
+                n_steps=n_steps,
                 a=a_scale,
             )
         flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
@@ -761,7 +889,7 @@ class BayesGPR:
         self.theta = theta_med  # triggers posterior refresh
         self.log_marginal_likelihood_value_ = float(
             gpc.log_marginal_likelihood(
-                self.kernel_,
+                self._spec,
                 jnp.asarray(theta_med, dtype=dt),
                 self._post_data,
             )
@@ -789,18 +917,18 @@ class BayesGPR:
         if self.noise == "gaussian" and bk.white_theta_index(
             self._user_kernel
         ) is None:
-            self.kernel_ = self._user_kernel + bk.WhiteKernel(
+            self._spec = self._user_kernel + bk.WhiteKernel(
                 1.0, (1e-5, 1e5)
             )
         else:
-            self.kernel_ = self._user_kernel
+            self._spec = self._user_kernel
         self._priors_cache = None
         self._set_data(X, y, noise_vector)
 
         if self.optimizer is not None:
             theta_ml = self._ml2_optimize()
         else:
-            theta_ml = self.kernel_.theta0
+            theta_ml = self._spec.theta0
         self._theta = theta_ml
         widx = self.white_index_
         if widx is not None:
@@ -857,7 +985,7 @@ class BayesGPR:
     def _theta_diag(self):
         t = jnp.asarray(self._theta, dtype=self._dtype())
         if self._noise_zero:
-            return gpc.noise_free_theta(self.kernel_, t, self.white_index_)
+            return gpc.noise_free_theta(self._spec, t, self.white_index_)
         return t
 
     def _warp_params(self):
@@ -886,8 +1014,8 @@ class BayesGPR:
 
             validate_zeroone(np.asarray(X))
         wa, wb, n_warp = self._warp_params()
-        out = _predict(
-            self.kernel_,
+        out = aot_call(
+            _predict,
             jnp.asarray(self._theta, dtype=self._dtype()),
             self._theta_diag(),
             self._post,
@@ -895,9 +1023,10 @@ class BayesGPR:
             X,
             wa,
             wb,
-            n_warp,
-            return_std,
-            return_cov,
+            kernel=self._spec,
+            n_warp=n_warp,
+            return_std=return_std,
+            return_cov=return_cov,
         )
         if return_std or return_cov:
             mean, unc = np.asarray(out[0]), np.asarray(out[1])
@@ -907,15 +1036,16 @@ class BayesGPR:
         if return_std or return_cov:
             results.append(unc)
         if return_mean_grad or return_std_grad:
-            mg, sg = _predict_grads(
-                self.kernel_,
+            mg, sg = aot_call(
+                _predict_grads,
                 self._theta_diag(),
                 self._post,
                 self._post_data,
                 X,
                 wa,
                 wb,
-                n_warp,
+                kernel=self._spec,
+                n_warp=n_warp,
             )
             if return_mean_grad:
                 results.append(np.asarray(mg))
@@ -956,10 +1086,10 @@ class BayesGPR:
             Xq = wp.warp(X, wa, wb) if n_warp else X
             theta = jnp.asarray(self._theta, dtype=dt)
             theta_diag = theta if noise else gpc.noise_free_theta(
-                self.kernel_, theta, widx
+                self._spec, theta, widx
             )
             out = gpc.sample_y(
-                self.kernel_,
+                self._spec,
                 theta_diag,
                 self._post,
                 self._post_data,
@@ -972,16 +1102,17 @@ class BayesGPR:
         idx = rs.choice(len(self.chain_), size=n_samples, replace=True)
         rows = jnp.asarray(self.chain_[idx], dtype=dt)
         n_warp = self._X_orig.shape[1] if self.warp_inputs else 0
-        out = _sample_y_marginal(
-            self.kernel_,
+        out = aot_call(
+            _sample_y_marginal,
             rows,
             self._data,
             X,
             key,
-            n_warp,
-            bool(noise),
-            widx,
-            n_samples,
+            kernel=self._spec,
+            n_warp=n_warp,
+            include_noise=bool(noise),
+            white_idx=widx,
+            n_total=n_samples,
         )
         return np.asarray(out).T
 
@@ -1003,7 +1134,7 @@ class BayesGPR:
         from ..ops.pallas_gram import match_fusable
         from .pathwise import pathwise_samples
 
-        spec = match_fusable(self.kernel_)
+        spec = match_fusable(self._spec)
         if spec is None:
             raise NotImplementedError(
                 "Pathwise sampling requires a Constant*(Matern|RBF)[+White] "
@@ -1055,7 +1186,7 @@ class BayesGPR:
         from ..ops.pallas_gram import match_fusable
         from .pathwise import pathwise_topk_hyper
 
-        spec = match_fusable(self.kernel_)
+        spec = match_fusable(self._spec)
         if spec is None:
             raise NotImplementedError(
                 "Pathwise sampling requires a Constant*(Matern|RBF)[+White] "
@@ -1074,16 +1205,17 @@ class BayesGPR:
             wa, wb, nw = self._warp_params()
             if nw:
                 Xq = wp.warp(Xq, wa, wb)
-            idx = _pathwise_topk(
-                spec,
+            idx = aot_call(
+                _pathwise_topk,
                 jnp.asarray(self._theta, dtype=dt),
                 self._post_data,
                 self._post.L,
                 Xq,
                 jax.random.PRNGKey(seed),
-                n_samples,
-                n_features,
-                top_k,
+                spec=spec,
+                n_samples=n_samples,
+                n_features=n_features,
+                k=top_k,
             )
             return np.asarray(idx)
         rs = np.random.RandomState(seed)
@@ -1113,7 +1245,7 @@ class BayesGPR:
             data = self._data
         return float(
             gpc.log_marginal_likelihood(
-                self.kernel_, jnp.asarray(theta, dtype=self._dtype()), data
+                self._spec, jnp.asarray(theta, dtype=self._dtype()), data
             )
         )
 

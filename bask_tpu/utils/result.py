@@ -14,8 +14,13 @@ from scipy.optimize import OptimizeResult
 __all__ = ["create_result", "expected_minimum"]
 
 
-def create_result(Xi, yi, space, rng, models=None) -> OptimizeResult:
-    """Bundle observations + model into a scipy OptimizeResult."""
+def create_result(Xi, yi, space=None, rng=None, models=None) -> OptimizeResult:
+    """Bundle observations + model into a scipy OptimizeResult.
+
+    ``space``/``rng``/``models`` are optional keywords, matching the
+    skopt helper the reference re-exports (used as
+    ``create_result(opt.Xi, opt.yi, space=..., models=[...])`` in its
+    Optimize-1D tutorial)."""
     yi = np.asarray(yi, dtype=float)
     res = OptimizeResult()
     if len(yi):
@@ -94,7 +99,7 @@ def _batched_descent(gp, starts, n_steps: int = 120, lr: float = 0.03):
     from ..models import gp as gpc
     from ..models import warping as wpm
 
-    kernel = gp.kernel_
+    kernel = gp._spec
     post = gp._post
     data = gp._post_data
     dt = gp._dtype()

@@ -159,8 +159,10 @@ def _gpr_state(gp) -> dict:
         "noise_": gp.noise_,
         "lml_value": gp.log_marginal_likelihood_value_,
         "kernel_user": kernel_to_dict(gp._user_kernel),
+        # the pristine post-fit spec (incl. White); the fitted theta is
+        # persisted separately as gpr_theta and rebaked on restore
         "kernel_fitted": (
-            kernel_to_dict(gp.kernel_) if gp.kernel_ is not None else None
+            kernel_to_dict(gp._spec) if gp._spec is not None else None
         ),
         "y_mean": getattr(gp, "y_train_mean_", 0.0),
         "y_std": getattr(gp, "y_train_std_", 1.0),

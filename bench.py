@@ -149,7 +149,9 @@ def bench_tpu():
     @jax.jit
     def acq_pass():
         mu, std, _ = _per_draw_predictions(
-            kernel, rows, data, Xc, kacq, 0, kernel.n_theta - 1, False
+            rows, data, Xc, kacq,
+            kernel=kernel, n_warp=0,
+            white_idx=kernel.n_theta - 1, need_sample=False,
         )
         return jax.vmap(lambda m, s: ei(m, s))(mu, std)
 

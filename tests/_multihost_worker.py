@@ -66,14 +66,14 @@ def main():
 
     # process-local reference (single-process semantics)
     ref_chain, ref_final = _run_chain(
-        kernel,
-        priors,
-        default_warp_log_prior,
-        0,
         data,
         jnp.asarray(pos0),
         key,
-        n_steps,
+        kernel=kernel,
+        priors=priors,
+        warp_prior=default_warp_log_prior,
+        n_warp=0,
+        n_steps=n_steps,
     )
     ref_chain = np.asarray(ref_chain)
 
@@ -81,14 +81,14 @@ def main():
     mesh = global_walker_mesh()
     pos_sharded = shard_global(pos0, mesh, "walkers", sharded_dim=0)
     chain, final = _run_chain(
-        kernel,
-        priors,
-        default_warp_log_prior,
-        0,
         data,
         pos_sharded,
         key,
-        n_steps,
+        kernel=kernel,
+        priors=priors,
+        warp_prior=default_warp_log_prior,
+        n_warp=0,
+        n_steps=n_steps,
     )
 
     checked = 0

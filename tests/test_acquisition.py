@@ -73,12 +73,12 @@ def test_fused_variance_reduction_matches_naive(fitted_gp):
     P = np.linspace(-2, 2, 9)[:, None]
     fused = np.asarray(
         acq._variance_explained(
-            gp.kernel_,
             jnp.asarray(gp._theta),
             gp._post,
             gp._post_data,
             jnp.asarray(X_cand),
             jnp.asarray(P),
+            kernel=gp._spec,
         )
     )
     naive = _naive_variance_explained(gp, X_cand, P)
