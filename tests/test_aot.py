@@ -76,6 +76,39 @@ def test_aot_disabled_is_plain_jit(tmp_path):
     assert np.isfinite(ref).all()
 
 
+def test_aot_mesh_sharded_chain(tmp_path):
+    """A mesh-sharded chain through the cache: the serialized executable
+    keeps its 8-device assignment and reproduces the unsharded chain."""
+    from bask_tpu.parallel.mesh import walker_mesh
+
+    rng = np.random.RandomState(2)
+    X = rng.uniform(size=(10, 1))
+    y = np.sin(5.0 * X[:, 0]) + 0.1 * rng.randn(10)
+
+    def chain(mesh, seed=11):
+        gp = BayesGPR(
+            kernel=ConstantKernel(1.0, (0.1, 10.0))
+            * Matern(1.0, (0.05, 5.0), nu=2.5),
+            random_state=seed,
+        )
+        gp.fit(
+            X, y, n_burnin=2, n_desired_samples=20,
+            n_walkers_per_thread=32, progress=False, mesh=mesh,
+        )
+        return np.asarray(gp.chain_)
+
+    ref = chain(mesh=None)
+    enable_aot_cache(str(tmp_path))
+    mesh = walker_mesh(8)
+    sharded_compiled = chain(mesh)
+    np.testing.assert_allclose(sharded_compiled, ref, rtol=1e-9)
+    # second session: load the sharded executable from disk
+    disable_aot_cache()
+    enable_aot_cache(str(tmp_path))
+    sharded_loaded = chain(mesh)
+    np.testing.assert_array_equal(sharded_loaded, sharded_compiled)
+
+
 def test_aot_progress_path(tmp_path):
     """The chunked progress chain routes through the cache too and stays
     bit-identical to the fused chain."""
