@@ -38,6 +38,38 @@ __all__ = ["enable_aot_cache", "disable_aot_cache", "aot_call"]
 _LOCK = threading.Lock()
 _DIR: str | None = os.environ.get("BASK_TPU_AOT_CACHE") or None
 _MEMO: dict = {}
+_BACKEND_OK: bool | None = None  # lazily probed (backend init is costly)
+
+
+def _backend_supported() -> bool:
+    """The axon remote-tunnel backend re-processes deserialized
+    executables server-side on first execution (measured 70-230 s vs
+    3-40 s for a fresh compile) — loading is a net loss there. Standard
+    CPU/TPU PJRT backends load immediately. Override with
+    ``BASK_TPU_AOT_CACHE_FORCE=1``."""
+    global _BACKEND_OK
+    if _BACKEND_OK is None:
+        if os.environ.get("BASK_TPU_AOT_CACHE_FORCE"):
+            _BACKEND_OK = True
+        else:
+            try:
+                # the tunnel identifies itself in the PJRT version
+                # string ("axon x.y.z"), not in `.platform` (= "tpu")
+                version = jax.devices()[0].client.platform_version
+            except Exception:
+                version = ""
+            _BACKEND_OK = "axon" not in version
+            if not _BACKEND_OK:
+                import warnings
+
+                warnings.warn(
+                    "bask_tpu AOT executable cache disabled: the axon "
+                    "remote backend re-compiles deserialized executables "
+                    "server-side, making loads slower than fresh "
+                    "compiles. Set BASK_TPU_AOT_CACHE_FORCE=1 to force.",
+                    UserWarning,
+                )
+    return _BACKEND_OK
 
 
 def enable_aot_cache(path: str) -> str:
@@ -105,7 +137,7 @@ def aot_call(jitted, *args, **kwargs):
     STATIC argument is a keyword (compiled executables accept only the
     dynamic arguments — statics are burned in at lowering time).
     """
-    if _DIR is None:
+    if _DIR is None or not _backend_supported():
         return jitted(*args, **kwargs)
     try:
         key = _sig_key(jitted, args, kwargs)
