@@ -147,12 +147,17 @@ def _chol_inv_recursive(A):
 
 
 def pick_nb(n: int) -> int:
-    """Panel width in {128, 64} dividing n.
+    """Panel width: 128 up to n=512, 256 beyond (measured v5e optima).
 
-    nb=256 measures ~9% faster standalone at n=512 but ~12% slower
+    At n=512, nb=256 measures ~9% faster standalone but ~12% slower
     inside the full MCMC step (it competes with the fused gram kernel
-    for VMEM/scheduling), so 128 is the default.
+    for VMEM/scheduling), so 128 is the small-n default. At large n
+    the fat-panel matmuls dominate: nb=256 wins 30% at (50,2048,2048)
+    (27.9 ms, 5.1 TFLOP/s vs 39.9 ms for nb=128; nb=512 is 28.7 ms —
+    see benchmarks/bench_scaling.py).
     """
+    if n > 512 and n % 256 == 0:
+        return 256
     for nb in (128, 64):
         if n % nb == 0 or n <= nb:
             return nb

@@ -45,6 +45,10 @@ def main():
             nb = 256
         if "nb512" in variant:
             nb = 512  # whole matrix through the recursion, no panels
+        if "base16" in variant:
+            fc._BASE = 16
+        if "base64" in variant:
+            fc._BASE = 64
         if "high" in variant:
             # 3-pass bf16 matmuls instead of the 6-pass HIGHEST
             fc._mm = lambda a, b: jnp.matmul(

@@ -14,13 +14,23 @@ def _spd(rng, b, n, jitter=1e-3):
     return jnp.asarray(A @ np.swapaxes(A, -1, -2) / n + jitter * np.eye(n))
 
 
-@pytest.mark.parametrize("n", [32, 64, 128, 256, 384, 512])
+@pytest.mark.parametrize("n", [32, 64, 128, 256, 384, 512, 768, 1024])
 def test_block_cholesky_matches_xla(n):
     rng = np.random.RandomState(0)
-    A = _spd(rng, 3, n)
+    A = _spd(rng, 3 if n <= 512 else 1, n)
     L_ref = np.asarray(jnp.linalg.cholesky(A))
     L, _ = fc.block_cholesky(A)
     np.testing.assert_allclose(np.asarray(L), L_ref, rtol=5e-5, atol=1e-8)
+
+
+def test_pick_nb_policy():
+    """nb=128 up to n=512 (in-chain optimum), 256 for larger
+    256-divisible sizes (measured 30% win at n=2048, BASELINE.md)."""
+    assert fc.pick_nb(512) == 128
+    assert fc.pick_nb(640) == 128  # not 256-divisible
+    assert fc.pick_nb(768) == 256
+    assert fc.pick_nb(1024) == 256
+    assert fc.pick_nb(2048) == 256
 
 
 def test_tri_newton_inv_exact():
