@@ -36,3 +36,59 @@ def test_searchcv_run(return_policy):
     assert opt.score(X_test, y_test) > 0.89
     assert hasattr(opt, "cv_results_")
     assert hasattr(opt, "best_params_")
+
+
+def test_optimizer_kwargs_step_defaults():
+    """n_samples/gp_samples/gp_burnin are *step* parameters extracted
+    from optimizer_kwargs with defaults 0/100/5, and the acquisition
+    defaults to PVRS (reference bask/searchcv.py:286-290)."""
+    from bask_tpu.acquisition import PVRS
+
+    searcher = BayesSearchCV(
+        SVC(), {"C": Real(1e-3, 1e3, prior="log-uniform")}, n_iter=1
+    )
+
+    captured = {}
+
+    def fake_evaluate(params_list):
+        captured["params"] = params_list
+        return {"mean_test_score": [0.5] * 1}
+
+    # drive _run_search directly with a stub evaluator (no CV fits)
+    searcher._run_search(fake_evaluate)
+    assert (searcher.n_samples_, searcher.gp_samples_, searcher.gp_burnin_) \
+        == (0, 100, 5)
+    space, optimizer = searcher.optimizers_[-1]
+    assert isinstance(optimizer.acq_func, PVRS)
+    assert len(captured["params"]) == 1
+
+    custom = BayesSearchCV(
+        SVC(),
+        {"C": Real(1e-3, 1e3, prior="log-uniform")},
+        n_iter=1,
+        optimizer_kwargs=dict(
+            n_samples=3, gp_samples=40, gp_burnin=2, acq_func="ei"
+        ),
+    )
+    custom._run_search(fake_evaluate)
+    assert (custom.n_samples_, custom.gp_samples_, custom.gp_burnin_) \
+        == (3, 40, 2)
+
+
+def test_make_optimizer_names_dimensions():
+    """Dimension objects get the search-space parameter names attached
+    (reference bask/searchcv.py:307-318)."""
+    import numpy as np
+
+    searcher = BayesSearchCV(
+        SVC(),
+        {"gamma": Real(1e-4, 1.0, prior="log-uniform"), "degree": Integer(1, 5)},
+        n_iter=1,
+    )
+    searcher._rng = np.random.RandomState(0)
+    searcher.optimizer_kwargs_ = {}
+    optimizer = searcher._make_optimizer(
+        {"gamma": Real(1e-4, 1.0, prior="log-uniform"), "degree": Integer(1, 5)}
+    )
+    names = [d.name for d in optimizer.space.dimensions]
+    assert names == ["degree", "gamma"]  # sorted parameter order
