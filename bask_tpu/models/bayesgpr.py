@@ -432,6 +432,7 @@ class BayesGPR:
 
         self._spec: Optional[bk.Kernel] = None  # spec incl. White
         self.chain_: Optional[np.ndarray] = None
+        self.chain_steps_: Optional[np.ndarray] = None  # (steps, W, D)
         self.pos_: Optional[np.ndarray] = None
         self.noise_: Optional[float] = None
         self.log_marginal_likelihood_value_: Optional[float] = None
@@ -869,11 +870,18 @@ class BayesGPR:
                 a=a_scale,
             )
         flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
+        kept_steps = np.asarray(chain_dev[n_burnin::n_thin])
         if add and self.chain_ is not None:
             self.chain_ = np.concatenate([self.chain_, np.asarray(flat)])
             flat = jnp.asarray(self.chain_, dtype=dt)
+            if (
+                self.chain_steps_ is not None
+                and self.chain_steps_.shape[1:] == kept_steps.shape[1:]
+            ):
+                kept_steps = np.concatenate([self.chain_steps_, kept_steps])
         else:
             self.chain_ = np.asarray(flat)
+        self.chain_steps_ = kept_steps
         self.pos_ = np.asarray(final.pos)
         self.n_accepted_ = int(final.accepted)
         self.n_proposals_ = n_steps * n_walkers
@@ -895,6 +903,46 @@ class BayesGPR:
             )
         )
         return self
+
+    def mcmc_diagnostics(self, c: float = 5.0) -> dict:
+        """Convergence diagnostics of the last hyperposterior chain.
+
+        Returns per-dimension split R-hat, effective sample size, and
+        emcee-style integrated autocorrelation time (Sokal window
+        constant ``c``), plus the acceptance rate. The reference keeps
+        only the flat chain and exposes nothing comparable
+        (``bask/bayesgpr.py:510-534``); see
+        :mod:`bask_tpu.utils.diagnostics` for estimator details and the
+        ensemble-sampler caveat.
+        """
+        if self.chain_steps_ is None:
+            raise ValueError(
+                "No chain available: call fit()/sample() first."
+            )
+        if self.chain_steps_.shape[0] < 4:
+            raise ValueError(
+                "Need at least 4 post-burnin steps for diagnostics "
+                f"(have {self.chain_steps_.shape[0]}); increase "
+                "n_desired_samples or reduce thinning."
+            )
+        from ..utils.diagnostics import (
+            effective_sample_size,
+            integrated_autocorr_time,
+            split_rhat,
+        )
+
+        x = self.chain_steps_
+        n_prop = getattr(self, "n_proposals_", 0)
+        return {
+            "rhat": split_rhat(x),
+            "ess": effective_sample_size(x),
+            "autocorr_time": integrated_autocorr_time(x, c=c),
+            "acceptance": (
+                getattr(self, "n_accepted_", 0) / n_prop if n_prop else None
+            ),
+            "n_steps": int(x.shape[0]),
+            "n_walkers": int(x.shape[1]),
+        }
 
     def fit(
         self,

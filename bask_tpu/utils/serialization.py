@@ -166,8 +166,10 @@ def _gpr_state(gp) -> dict:
         ),
         "y_mean": getattr(gp, "y_train_mean_", 0.0),
         "y_std": getattr(gp, "y_train_std_", 1.0),
+        "n_accepted": getattr(gp, "n_accepted_", None),
+        "n_proposals": getattr(gp, "n_proposals_", None),
     }
-    for name in ("chain_", "pos_", "warp_alphas_", "warp_betas_", "_theta"):
+    for name in ("chain_", "chain_steps_", "pos_", "warp_alphas_", "warp_betas_", "_theta"):
         v = getattr(gp, name)
         if v is not None:
             arrays[f"gpr{name}"] = np.asarray(v)
@@ -186,7 +188,10 @@ def _restore_gpr(gp, meta, arrays):
         gp.kernel_ = kernel_from_dict(meta["kernel_fitted"])
     gp.y_train_mean_ = meta["y_mean"]
     gp.y_train_std_ = meta["y_std"]
-    for name in ("chain_", "pos_", "warp_alphas_", "warp_betas_"):
+    if meta.get("n_proposals") is not None:
+        gp.n_accepted_ = meta["n_accepted"]
+        gp.n_proposals_ = meta["n_proposals"]
+    for name in ("chain_", "chain_steps_", "pos_", "warp_alphas_", "warp_betas_"):
         key = f"gpr{name}"
         if key in arrays:
             setattr(gp, name, arrays[key])
