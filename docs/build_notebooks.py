@@ -315,6 +315,26 @@ plt.show()
 Each of those 20 curves corresponds to a different plausible kernel —
 length scale, signal variance and noise all vary — which is exactly the
 uncertainty a point-estimate GP ignores.
+
+## Did the chain converge?
+
+`mcmc_diagnostics()` reports split R-hat, effective sample size and the
+integrated autocorrelation time of the hyperposterior chain (per
+log-hyperparameter: signal variance, length scale, noise). R-hat near 1
+and ESS in the hundreds mean the consensus model and the marginalized
+predictions above are trustworthy:
+""",
+    ),
+    (
+        "code",
+        """
+gp.fit(X, y, n_desired_samples=20000, n_burnin=100, priors=priors,
+       progress=False)
+diag = gp.mcmc_diagnostics()
+for k in ("rhat", "ess", "autocorr_time"):
+    print(f"{k:>14}: {np.round(diag[k], 2)}")
+print(f"    acceptance: {diag['acceptance']:.2f}  "
+      f"({diag['n_steps']} steps x {diag['n_walkers']} walkers)")
 """,
     ),
 ]
