@@ -61,16 +61,23 @@ def main():
     key = jax.random.PRNGKey(0)
     ei = ExpectedImprovement()
 
+    # NB: sinks must consume the FULL outputs — a partial sink (e.g.
+    # L[0,0]) lets XLA dead-code-eliminate most of the slice and the
+    # deltas become meaningless.
     def gram_only(rows_i):
         G = jax.vmap(
             lambda t: masked_gram(kernel, t, data.X, data.alpha_diag, data.mask)
         )(rows_i)
-        return jnp.sum(G[:, 0, 0])
+        return jnp.sum(G)
 
     def gram_chol(rows_i):
         def one(t):
-            post, _ = gpc.posterior_and_invs(kernel, t, data)
-            return post.L[0, 0]
+            post, invs = gpc.posterior_and_invs(kernel, t, data)
+            s = jnp.sum(post.L) + jnp.sum(post.alpha_dual)
+            if invs is not None:
+                for iv in invs:
+                    s = s + jnp.sum(iv)
+            return s
 
         return jnp.sum(jax.vmap(one)(rows_i))
 
