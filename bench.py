@@ -162,7 +162,18 @@ def bench_tpu():
     float(v[0, 0])
     acq_elapsed = time.perf_counter() - t0
     acq_evals_per_s = 100 * 512 / acq_elapsed
-    return elapsed, acc, acq_evals_per_s
+
+    # chain-health evidence for the headline number: R-hat / ESS of the
+    # post-burnin timed chain (host-side, not in the timed section)
+    from bask_tpu.utils.diagnostics import effective_sample_size, split_rhat
+
+    steps = np.asarray(chain)[N_STEPS // 3:]
+    if steps.shape[0] >= 4:
+        rhat = float(np.max(split_rhat(steps)))
+        ess = float(np.min(effective_sample_size(steps)))
+    else:
+        rhat, ess = float("nan"), float("nan")
+    return elapsed, acc, acq_evals_per_s, rhat, ess
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +248,7 @@ def main():
         CPU_MEASURE_STEPS = 2
         CPU_MEASURE_REPS = 1
 
-    tpu_time, acc, acq_rate = bench_tpu()
+    tpu_time, acc, acq_rate, rhat, ess = bench_tpu()
     cpu_time, cpu_spread = bench_cpu_reference()
     speedup = cpu_time / tpu_time
 
@@ -257,6 +268,8 @@ def main():
                     "acceptance_rate": round(acc, 3),
                     "n_steps": N_STEPS,
                     "acquisition_evals_per_s": round(acq_rate),
+                    "chain_max_rhat": round(rhat, 3),
+                    "chain_min_ess": round(ess, 1),
                 },
             }
         )
