@@ -163,3 +163,27 @@ def test_progress_chunked_chain_identical():
         )
         chains.append(np.copy(gp.chain_))
     np.testing.assert_array_equal(chains[0], chains[1])
+
+
+def test_exponentiation_kernel_end_to_end():
+    """A composite (Const*RBF)**1.5 user kernel through the full
+    fit/predict/sample_y path (non-fusable: exercises the generic
+    batched-LML fallback and guess_priors over Exponentiation,
+    reference kernel algebra bask/bayesgpr.py:163)."""
+    from bask_tpu.models.bayesgpr import BayesGPR
+    from bask_tpu.ops import kernels as bk
+
+    rng = np.random.RandomState(4)
+    X = rng.uniform(size=(12, 2))
+    y = np.sin(3 * X[:, 0]) + 0.1 * rng.randn(12)
+    kernel = bk.Exponentiation(
+        bk.ConstantKernel(1.0, (0.1, 10.0)) * bk.RBF(0.5, (0.05, 5.0)), 1.5
+    )
+    gp = BayesGPR(kernel=kernel, random_state=5)
+    gp.fit(X, y, n_desired_samples=30, n_burnin=3, progress=False)
+    assert np.isfinite(gp.chain_).all()
+    mu, std = gp.predict(X, return_std=True)
+    # interpolates its own training data within predicted uncertainty
+    assert np.all(np.abs(mu - y) < 3 * std + 0.3)
+    draws = gp.sample_y(X[:5], n_samples=4, random_state=0)
+    assert draws.shape == (5, 4) and np.isfinite(draws).all()
