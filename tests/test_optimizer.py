@@ -83,6 +83,32 @@ def test_no_error_on_unknown_kwargs():
     Optimizer(dimensions=[(-2.0, 2.0)], n_initial_points=5, unknown_argument=42)
 
 
+def test_last_timings_observability():
+    """Every fitting tell records wall-clock of the MCMC refit and the
+    acquisition pass plus the chain acceptance rate (bask-tpu
+    observability; the reference exposes nothing, SURVEY.md §5)."""
+    opt = Optimizer(
+        dimensions=[(-2.0, 2.0)], n_initial_points=1, init_strategy="random"
+    )
+    assert not hasattr(opt, "last_timings_")
+    opt.run(bench1, n_iter=2, gp_burnin=2, gp_samples=20, n_samples=1)
+    t = opt.last_timings_
+    assert t["gp_fit_s"] > 0.0 and t["acquisition_s"] > 0.0
+    assert 0.0 < t["mcmc_acceptance"] <= 1.0
+
+
+def test_tell_returns_optimize_result():
+    """tell() returns a scipy OptimizeResult carrying the incumbent,
+    history, space, and the GP model (create_result contract)."""
+    opt = Optimizer(dimensions=[(-2.0, 2.0)], n_initial_points=2)
+    res = opt.tell([[-1.0], [1.5]], [3.0, -2.0])
+    assert res.x == [1.5] and res.fun == -2.0
+    assert res.x_iters == [[-1.0], [1.5]]
+    assert list(res.func_vals) == [3.0, -2.0]
+    assert res.models == [opt.gp]
+    assert res.space is opt.space
+
+
 def test_error_on_invalid_priors():
     opt = Optimizer(dimensions=[(-2.0, 2.0)], gp_priors=[], n_initial_points=0)
     with pytest.raises(ValueError):
