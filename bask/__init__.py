@@ -26,7 +26,10 @@ from bask_tpu import *  # noqa: F401,F403
 from bask_tpu import __all__ as _all
 from bask_tpu import __version__  # noqa: F401
 
-__all__ = list(_all)
+# reference __all__ includes BayesSearchCV (bask/__init__.py:12-35);
+# star-imports resolve it through module __getattr__, keeping plain
+# `import bask` sklearn-free
+__all__ = list(_all) + ["BayesSearchCV"]
 
 
 def _alias(name, module):

@@ -66,9 +66,14 @@ def _bucket(n: int) -> int:
 
 # Host-callback adapters for NumPy/SciPy priors (reference users pass
 # e.g. ``lambda x: halfnorm(scale=2).logpdf(...)``; those are not JAX-
-# traceable). Cached by prior identity so the jitted chain — which takes
-# the priors tuple as a static argument — is not recompiled per tell.
-_HOST_PRIOR_CACHE = weakref.WeakKeyDictionary()
+# traceable). Cached by prior identity (one cache per wrapping mode —
+# element-wise vs joint produce different callback shapes) so the jitted
+# chain, which takes the priors tuple as a static argument, is not
+# recompiled per tell.
+_HOST_PRIOR_CACHE = {
+    False: weakref.WeakKeyDictionary(),
+    True: weakref.WeakKeyDictionary(),
+}
 
 
 def _host_prior_wrapper(p, joint: bool = False):
@@ -711,7 +716,7 @@ class BayesGPR:
         except Exception:
             pass
         try:
-            cached = _HOST_PRIOR_CACHE.get(p)
+            cached = _HOST_PRIOR_CACHE[joint].get(p)
         except TypeError:  # unhashable / non-weakrefable callable
             cached = None
         if cached is not None:
@@ -726,7 +731,7 @@ class BayesGPR:
         )
         wrapper = _host_prior_wrapper(p, joint=joint)
         try:
-            _HOST_PRIOR_CACHE[p] = wrapper
+            _HOST_PRIOR_CACHE[joint][p] = wrapper
         except TypeError:
             pass
         return wrapper
@@ -872,19 +877,37 @@ class BayesGPR:
         flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
         kept_steps = np.asarray(chain_dev[n_burnin::n_thin])
         if add and self.chain_ is not None:
-            self.chain_ = np.concatenate([self.chain_, np.asarray(flat)])
-            flat = jnp.asarray(self.chain_, dtype=dt)
             if (
                 self.chain_steps_ is not None
                 and self.chain_steps_.shape[1:] == kept_steps.shape[1:]
+                and self.chain_steps_.size == self.chain_.size
             ):
+                # homogeneous walker count: keep ONE step-major array;
+                # the flat chain is a zero-copy view of it
                 kept_steps = np.concatenate([self.chain_steps_, kept_steps])
+                self.chain_steps_ = kept_steps
+                self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
+            else:
+                # walker count changed across add: the flat chain keeps
+                # both runs (reference semantics), step-major state only
+                # the latest run
+                self.chain_ = np.concatenate(
+                    [self.chain_, np.asarray(flat)]
+                )
+                self.chain_steps_ = kept_steps
+            flat = jnp.asarray(self.chain_, dtype=dt)
         else:
-            self.chain_ = np.asarray(flat)
-        self.chain_steps_ = kept_steps
+            self.chain_steps_ = kept_steps
+            self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
         self.pos_ = np.asarray(final.pos)
-        self.n_accepted_ = int(final.accepted)
-        self.n_proposals_ = n_steps * n_walkers
+        if add and getattr(self, "n_proposals_", 0):
+            # accumulate across add=True runs so diagnostics' acceptance
+            # describes the same combined chain as chain_/chain_steps_
+            self.n_accepted_ += int(final.accepted)
+            self.n_proposals_ += n_steps * n_walkers
+        else:
+            self.n_accepted_ = int(final.accepted)
+            self.n_proposals_ = n_steps * n_walkers
 
         median = np.asarray(geometric_median(flat))
         if self.warp_inputs:

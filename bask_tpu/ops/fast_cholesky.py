@@ -154,23 +154,37 @@ def pick_nb(n: int) -> int:
     for VMEM/scheduling), so 128 is the small-n default. At large n
     the fat-panel matmuls dominate: nb=256 wins 30% at (50,2048,2048)
     (27.9 ms, 5.1 TFLOP/s vs 39.9 ms for nb=128; nb=512 is 28.7 ms —
-    see benchmarks/bench_scaling.py).
+    see benchmarks/bench_scaling.py). ``n`` need not divide evenly:
+    the last panel is ragged (the recursive kernel handles any size),
+    so every 64-multiple padding bucket gets fat panels.
     """
-    if n > 512 and n % 256 == 0:
-        return 256
-    for nb in (128, 64):
-        if n % nb == 0 or n <= nb:
-            return nb
-    return 64
+    return 256 if n > 512 else 128
+
+
+def _panel_sizes(n: int, nb: int):
+    sizes = []
+    while n > 0:
+        sizes.append(min(nb, n))
+        n -= sizes[-1]
+    return sizes
+
+
+def _offsets(sizes):
+    out, lo = [], 0
+    for s in sizes:
+        out.append((lo, lo + s))
+        lo += s
+    return out
 
 
 def block_cholesky(A, nb: int | None = None):
     """Lower Cholesky of (..., n, n) via matmul-rich blocking.
 
-    ``n`` must be a multiple of ``nb`` (or <= nb, which falls through to
-    the recursive kernel directly). Returns ``(L, diag_invs)`` where
-    ``diag_invs`` is the list of T inverted diagonal blocks, reusable by
-    :func:`block_forward_solve`.
+    Returns ``(L, diag_invs)`` where ``diag_invs`` is the list of
+    inverted diagonal blocks (the last may be ragged when ``nb`` does
+    not divide ``n``), reusable by :func:`block_forward_solve` and the
+    matrix-RHS solves, which re-derive the panel layout from the
+    inverse shapes.
     """
     n = A.shape[-1]
     if nb is None:
@@ -178,14 +192,10 @@ def block_cholesky(A, nb: int | None = None):
     if n <= nb:
         L, L_inv = _chol_inv_recursive(A)
         return L, [L_inv]
-    assert n % nb == 0, f"n={n} must be a multiple of nb={nb}"
-    T = n // nb
     M = A
     cols = []
     invs = []
-    for j in range(T):
-        lo = j * nb
-        hi = lo + nb
+    for lo, hi in _offsets(_panel_sizes(n, nb)):
         D = M[..., lo:hi, lo:hi]
         Ld, Ld_inv = _chol_inv_recursive(D)
         invs.append(Ld_inv)
@@ -200,7 +210,7 @@ def block_cholesky(A, nb: int | None = None):
             axis=-2,
         )
         cols.append(col)
-        if j + 1 < T:
+        if hi < n:
             tail = M[..., hi:, hi:] - _mm(P, jnp.swapaxes(P, -1, -2))
             # rebuild M with the updated trailing block only (slices of
             # the old M elsewhere are never read again)
@@ -208,25 +218,27 @@ def block_cholesky(A, nb: int | None = None):
     return jnp.concatenate(cols, axis=-1), invs
 
 
+def _layout_from_invs(invs):
+    return _offsets([iv.shape[-1] for iv in invs])
+
+
 def block_forward_solve(L, invs, y, nb: int | None = None):
     """w = L^-1 y using the cached diagonal-block inverses.
 
     ``y``: (..., n). A handful of batched (nb x nb) matmuls instead of a
-    sequential length-n substitution.
+    sequential length-n substitution. The panel layout is derived from
+    the inverse shapes (``nb`` is accepted for API compatibility).
     """
     n = L.shape[-1]
-    if nb is None:
-        nb = pick_nb(n)
-    if n <= nb:
+    if len(invs) == 1 and invs[0].shape[-1] == n:
         return (_mm(invs[0], y[..., None]))[..., 0]
-    T = n // nb
+    spans = _layout_from_invs(invs)
     ws = []
-    for j in range(T):
-        lo = j * nb
-        hi = lo + nb
+    for j, (lo, hi) in enumerate(spans):
         rhs = y[..., lo:hi]
         for k, wk in enumerate(ws):
-            Ljk = L[..., lo:hi, k * nb : (k + 1) * nb]
+            klo, khi = spans[k]
+            Ljk = L[..., lo:hi, klo:khi]
             rhs = rhs - (_mm(Ljk, wk[..., None]))[..., 0]
         ws.append((_mm(invs[j], rhs[..., None]))[..., 0])
     return jnp.concatenate(ws, axis=-1)
@@ -242,17 +254,15 @@ def block_forward_solve(L, invs, y, nb: int | None = None):
 def block_solve_lower_mat(L, invs, Y, nb: int | None = None):
     """W = L^-1 Y with cached diagonal-block inverses; Y is (..., n, m)."""
     n = L.shape[-1]
-    if nb is None:
-        nb = pick_nb(n)
-    if n <= nb:
+    if len(invs) == 1 and invs[0].shape[-1] == n:
         return _mm(invs[0], Y)
-    T = n // nb
+    spans = _layout_from_invs(invs)
     ws = []
-    for j in range(T):
-        lo, hi = j * nb, (j + 1) * nb
+    for j, (lo, hi) in enumerate(spans):
         rhs = Y[..., lo:hi, :]
         for k in range(j):
-            rhs = rhs - _mm(L[..., lo:hi, k * nb : (k + 1) * nb], ws[k])
+            klo, khi = spans[k]
+            rhs = rhs - _mm(L[..., lo:hi, klo:khi], ws[k])
         ws.append(_mm(invs[j], rhs))
     return jnp.concatenate(ws, axis=-2)
 
@@ -260,17 +270,17 @@ def block_solve_lower_mat(L, invs, Y, nb: int | None = None):
 def block_solve_upper_mat(L, invs, Y, nb: int | None = None):
     """X = L^-T Y with cached diagonal-block inverses; Y is (..., n, m)."""
     n = L.shape[-1]
-    if nb is None:
-        nb = pick_nb(n)
-    if n <= nb:
+    if len(invs) == 1 and invs[0].shape[-1] == n:
         return _mm(jnp.swapaxes(invs[0], -1, -2), Y)
-    T = n // nb
+    spans = _layout_from_invs(invs)
+    T = len(spans)
     xs = [None] * T
     for j in range(T - 1, -1, -1):
-        lo, hi = j * nb, (j + 1) * nb
+        lo, hi = spans[j]
         rhs = Y[..., lo:hi, :]
         for k in range(j + 1, T):
-            Lkj = L[..., k * nb : (k + 1) * nb, lo:hi]
+            klo, khi = spans[k]
+            Lkj = L[..., klo:khi, lo:hi]
             rhs = rhs - _mm(jnp.swapaxes(Lkj, -1, -2), xs[k])
         xs[j] = _mm(jnp.swapaxes(invs[j], -1, -2), rhs)
     return jnp.concatenate(xs, axis=-2)

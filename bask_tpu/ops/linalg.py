@@ -54,7 +54,9 @@ def _use_fast_path(Kp) -> bool:
     if FAST_CHOLESKY == "off":
         return False
     n = Kp.shape[-1]
-    shape_ok = n >= 128 and n % 128 == 0
+    # any 64-multiple (the padding-bucket granularity): block_cholesky
+    # handles a ragged last panel, so 576/832/... qualify too
+    shape_ok = n >= 128 and n % 64 == 0
     if FAST_CHOLESKY == "on":
         return shape_ok
     return shape_ok and Kp.dtype == jnp.float32

@@ -35,8 +35,16 @@ import jax
 
 __all__ = ["enable_aot_cache", "disable_aot_cache", "aot_call"]
 
+def _normalize_dir(path):
+    if not path:
+        return None
+    path = os.path.abspath(os.path.expanduser(path))
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 _LOCK = threading.Lock()
-_DIR: str | None = os.environ.get("BASK_TPU_AOT_CACHE") or None
+_DIR: str | None = _normalize_dir(os.environ.get("BASK_TPU_AOT_CACHE"))
 _MEMO: dict = {}
 _BACKEND_OK: bool | None = None  # lazily probed (backend init is costly)
 
@@ -75,8 +83,7 @@ def _backend_supported() -> bool:
 def enable_aot_cache(path: str) -> str:
     """Enable the persistent executable cache rooted at ``path``."""
     global _DIR
-    path = os.path.abspath(os.path.expanduser(path))
-    os.makedirs(path, exist_ok=True)
+    path = _normalize_dir(path)
     with _LOCK:
         _DIR = path
         _MEMO.clear()

@@ -91,8 +91,9 @@ def effective_sample_size(chains):
     n, m, d = x.shape
     if n < 4:
         raise ValueError("need at least 4 draws for an ESS estimate")
-    # autocovariance per chain; lag axis 0 -> acov shape (n, m, d)
-    acov = np.stack([_autocov_fft(x[:, j]) for j in range(m)], axis=1)
+    # autocovariance per chain (one batched FFT over all chains/dims);
+    # lag axis 0 -> acov shape (n, m, d)
+    acov = _autocov_fft(x)
     mean_acov = acov.mean(axis=1)  # (n, d)
     chain_vars = acov[0] * n / (n - 1)  # (m, d)
     W = chain_vars.mean(axis=0)  # (d,)
@@ -134,7 +135,7 @@ def integrated_autocorr_time(chains, c: float = 5.0):
     n, m, d = x.shape
     if n < 4:
         raise ValueError("need at least 4 draws for autocorrelation times")
-    acov = np.stack([_autocov_fft(x[:, j]) for j in range(m)], axis=1)
+    acov = _autocov_fft(x)  # (n, m, d), batched FFT
     with np.errstate(divide="ignore", invalid="ignore"):
         rho = acov / acov[0:1]  # normalize per walker
     f = np.nanmean(rho, axis=1)  # (n, d)

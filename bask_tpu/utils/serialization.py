@@ -173,6 +173,14 @@ def _gpr_state(gp) -> dict:
         v = getattr(gp, name)
         if v is not None:
             arrays[f"gpr{name}"] = np.asarray(v)
+    # chain_ is normally a reshaped view of chain_steps_ — don't store
+    # the same samples twice in the checkpoint
+    if (
+        "gprchain_" in arrays
+        and "gprchain_steps_" in arrays
+        and arrays["gprchain_"].size == arrays["gprchain_steps_"].size
+    ):
+        del arrays["gprchain_"]
     if gp._X_orig is not None:
         arrays["gpr_X"] = gp._X_orig
         arrays["gpr_y"] = gp._y_orig
@@ -195,6 +203,11 @@ def _restore_gpr(gp, meta, arrays):
         key = f"gpr{name}"
         if key in arrays:
             setattr(gp, name, arrays[key])
+    if gp.chain_ is None and gp.chain_steps_ is not None:
+        # deduplicated checkpoint: rebuild the flat view
+        gp.chain_ = gp.chain_steps_.reshape(
+            -1, gp.chain_steps_.shape[-1]
+        )
     if "gpr_X" in arrays:
         gp._X_orig = arrays["gpr_X"]
         gp._y_orig = arrays["gpr_y"]

@@ -100,6 +100,37 @@ def test_bayesgpr_diagnostics_end_to_end():
     assert diag2["acceptance"] == diag["acceptance"]
 
 
+def test_add_chain_accumulates_consistently():
+    """sample(add=True) must keep chain_, chain_steps_, and the
+    acceptance counters describing the SAME combined chain — and the
+    flat chain stays a zero-copy view of the step-major array."""
+    from bask_tpu import BayesGPR
+    from bask_tpu.ops.kernels import ConstantKernel, Matern
+
+    rng = np.random.RandomState(1)
+    X = rng.uniform(size=(10, 1))
+    y = np.sin(3.0 * X[:, 0]) + 0.1 * rng.randn(10)
+    gp = BayesGPR(
+        kernel=ConstantKernel(1.0, (0.1, 10.0))
+        * Matern(1.0, (0.05, 5.0), nu=2.5),
+        random_state=3,
+    )
+    gp.fit(X, y, n_burnin=4, n_desired_samples=400, progress=False)
+    acc1, prop1 = gp.n_accepted_, gp.n_proposals_
+    gp.sample(add=True, n_burnin=0, n_desired_samples=400)
+    assert gp.n_proposals_ > prop1  # accumulated, not overwritten
+    assert gp.n_accepted_ >= acc1
+    d = gp.chain_.shape[1]
+    assert gp.chain_steps_.shape == (8, 100, d)
+    np.testing.assert_array_equal(
+        gp.chain_steps_.reshape(-1, d), gp.chain_
+    )
+    assert np.shares_memory(gp.chain_, gp.chain_steps_)
+    diag = gp.mcmc_diagnostics()
+    assert diag["n_steps"] == 8
+    assert 0.0 < diag["acceptance"] <= 1.0
+
+
 def test_diagnostics_require_chain():
     from bask_tpu import BayesGPR
 

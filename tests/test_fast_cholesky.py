@@ -14,8 +14,11 @@ def _spd(rng, b, n, jitter=1e-3):
     return jnp.asarray(A @ np.swapaxes(A, -1, -2) / n + jitter * np.eye(n))
 
 
-@pytest.mark.parametrize("n", [32, 64, 128, 256, 384, 512, 768, 1024])
+@pytest.mark.parametrize(
+    "n", [32, 64, 128, 256, 384, 512, 576, 768, 832, 1024]
+)
 def test_block_cholesky_matches_xla(n):
+    # 576/832 exercise the ragged last panel (n not a multiple of nb)
     rng = np.random.RandomState(0)
     A = _spd(rng, 3 if n <= 512 else 1, n)
     L_ref = np.asarray(jnp.linalg.cholesky(A))
@@ -24,13 +27,40 @@ def test_block_cholesky_matches_xla(n):
 
 
 def test_pick_nb_policy():
-    """nb=128 up to n=512 (in-chain optimum), 256 for larger
-    256-divisible sizes (measured 30% win at n=2048, BASELINE.md)."""
+    """nb=128 up to n=512 (in-chain optimum), 256 beyond (measured 30%
+    win at n=2048, BASELINE.md); the last panel may be ragged, so every
+    64-multiple padding bucket qualifies."""
     assert fc.pick_nb(512) == 128
-    assert fc.pick_nb(640) == 128  # not 256-divisible
-    assert fc.pick_nb(768) == 256
+    assert fc.pick_nb(576) == 256
+    assert fc.pick_nb(640) == 256
     assert fc.pick_nb(1024) == 256
     assert fc.pick_nb(2048) == 256
+
+
+@pytest.mark.parametrize("n", [320, 576])
+def test_ragged_panel_solves(n):
+    """Forward/matrix solves must honor the ragged panel layout encoded
+    in the cached inverse shapes."""
+    rng = np.random.RandomState(3)
+    A = _spd(rng, 2, n)
+    L, invs = fc.block_cholesky(A)
+    assert sum(iv.shape[-1] for iv in invs) == n
+    Lr = np.asarray(jnp.linalg.cholesky(A))
+    y = rng.randn(2, n)
+    w = np.asarray(fc.block_forward_solve(L, invs, jnp.asarray(y)))
+    ref = np.stack([np.linalg.solve(Lr[i], y[i]) for i in range(2)])
+    np.testing.assert_allclose(w, ref, rtol=5e-5, atol=1e-7)
+    Y = jnp.asarray(rng.randn(2, n, 7))
+    W = np.asarray(fc.block_solve_lower_mat(L, invs, Y))
+    refm = np.stack(
+        [np.linalg.solve(Lr[i], np.asarray(Y)[i]) for i in range(2)]
+    )
+    np.testing.assert_allclose(W, refm, rtol=5e-5, atol=1e-7)
+    Xu = np.asarray(fc.block_solve_upper_mat(L, invs, Y))
+    refu = np.stack(
+        [np.linalg.solve(Lr[i].T, np.asarray(Y)[i]) for i in range(2)]
+    )
+    np.testing.assert_allclose(Xu, refu, rtol=5e-5, atol=1e-7)
 
 
 def test_tri_newton_inv_exact():
