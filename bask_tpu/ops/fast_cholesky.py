@@ -251,19 +251,27 @@ def block_forward_solve(L, invs, y, nb: int | None = None):
 # that trap: they only apply inverses block_cholesky already produced.
 
 
-def block_solve_lower_mat(L, invs, Y, nb: int | None = None):
-    """W = L^-1 Y with cached diagonal-block inverses; Y is (..., n, m)."""
+def block_solve_lower_mat(L, invs, Y, nb: int | None = None, precision=None):
+    """W = L^-1 Y with cached diagonal-block inverses; Y is (..., n, m).
+
+    ``precision``: optional matmul precision override for this solve
+    (default full-f32 HIGHEST; see the std-solve experiment notes in
+    BASELINE.md before relaxing it).
+    """
+    mm = _mm if precision is None else (
+        lambda a, b: jnp.matmul(a, b, precision=precision)
+    )
     n = L.shape[-1]
     if len(invs) == 1 and invs[0].shape[-1] == n:
-        return _mm(invs[0], Y)
+        return mm(invs[0], Y)
     spans = _layout_from_invs(invs)
     ws = []
     for j, (lo, hi) in enumerate(spans):
         rhs = Y[..., lo:hi, :]
         for k in range(j):
             klo, khi = spans[k]
-            rhs = rhs - _mm(L[..., lo:hi, klo:khi], ws[k])
-        ws.append(_mm(invs[j], rhs))
+            rhs = rhs - mm(L[..., lo:hi, klo:khi], ws[k])
+        ws.append(mm(invs[j], rhs))
     return jnp.concatenate(ws, axis=-2)
 
 

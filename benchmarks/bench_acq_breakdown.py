@@ -99,6 +99,23 @@ def main():
 
         return jnp.sum(jax.vmap(one)(rows_i))
 
+    def mu_std_high(rows_i):
+        """std solve at HIGH (bf16x3) matmul precision — experiment."""
+        from jax.scipy.linalg import solve_triangular  # noqa: F401
+        from bask_tpu.ops import fast_cholesky as fc
+
+        def one(t):
+            post, invs = gpc.posterior_and_invs(kernel, t, data)
+            Ks = kernel.eval(t, Xc, data.X) * data.mask[None, :]
+            mu = Ks @ post.alpha_dual
+            v = fc.block_solve_lower_mat(
+                post.L, invs, Ks.T, precision=lax.Precision.HIGH
+            )
+            var = kernel.diag(t, Xc) - jnp.sum(v * v, axis=0)
+            return jnp.sum(mu) + jnp.sum(jnp.sqrt(jnp.maximum(var, 0.0)))
+
+        return jnp.sum(jax.vmap(one)(rows_i))
+
     def full(rows_i):
         mu, std, _ = _per_draw_predictions(
             rows_i, data, Xc, key,
@@ -112,6 +129,7 @@ def main():
         "chol": gram_chol,
         "mu": mu_only,
         "mustd": mu_std,
+        "mustd-high": mu_std_high,
         "full": full,
     }[which]
 
