@@ -128,9 +128,11 @@ def batched_lml(kernel, thetas, X, y, alpha_diag, mask):
     (W, n_pad, d) (input warping). Falls back to a vmapped scalar path.
     """
     n_pad = X.shape[-2]
+    # any 64-multiple bucket: the Pallas gram picks the largest divisor
+    # tile (256 preferred, benchmarks/bench_gram_tile.py)
     fusable = (
         X.dtype == jnp.float32
-        and n_pad % 128 == 0
+        and n_pad % 64 == 0
         and jax.default_backend() != "cpu"
     )
     spec = None

@@ -36,7 +36,21 @@ from . import kernels as bk
 
 __all__ = ["match_fusable", "fused_masked_gram_batch", "FusedSpec"]
 
-_TILE = 128
+# Preferred row-strip height. Each grid program computes a full
+# (rows x n_pad) strip: the minor block dimension equals the array
+# dimension, which Mosaic accepts for ANY n_pad (a square tile's minor
+# dim must be a 128-multiple, which 192/320/576-style buckets fail).
+# Fewer, fatter programs also amortize per-program overhead: 256-row
+# strips measure 33%+ faster than the old 128x128 square tiles at the
+# (50, 512, 512) hot shape (benchmarks/bench_gram_tile.py).
+_TILE = 256
+
+
+def _pick_tile(n_pad: int) -> int:
+    for t in (_TILE, 256, 128, 64):
+        if t <= _TILE and n_pad % t == 0:
+            return t
+    return 64
 
 
 class FusedSpec(NamedTuple):
@@ -95,8 +109,9 @@ def fused_masked_gram_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real):
     if X.ndim == 2:
         X = jnp.broadcast_to(X[None], (B,) + X.shape)
     _, n_pad, d = X.shape
-    assert n_pad % _TILE == 0, f"n_pad={n_pad} must be a multiple of {_TILE}"
-    tiles = n_pad // _TILE
+    tile = _pick_tile(n_pad)
+    assert n_pad % tile == 0, f"n_pad={n_pad} not a multiple of {tile}"
+    tiles = n_pad // tile
 
     off = 1 if spec.has_const else 0
     amp = (
@@ -118,35 +133,37 @@ def fused_masked_gram_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, tiles, tiles),
+        grid=(B, tiles),
         in_specs=[
             # (B, 1, d+2) packed params with a (1, 1, d+2) block: the
             # trailing two block dims equal the array dims, satisfying
             # the TPU tiling rule for the ragged parameter axis.
             pl.BlockSpec(
                 (1, 1, d + 2),
-                lambda b, i, j, n: (b, 0, 0),
+                lambda b, i, n: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            # row strip of queried points
             pl.BlockSpec(
-                (1, _TILE, d),
-                lambda b, i, j, n: (b, i, 0),
+                (1, tile, d),
+                lambda b, i, n: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
+            # ALL points (the strip's columns span the whole gram row)
             pl.BlockSpec(
-                (1, _TILE, d),
-                lambda b, i, j, n: (b, j, 0),
+                (1, n_pad, d),
+                lambda b, i, n: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             # alpha as (n_pad, 1): a (T, 1) block keeps Mosaic's layout
             # rules happy where 1-D dynamic slices cannot be aligned
             pl.BlockSpec(
-                (_TILE, 1), lambda b, i, j, n: (i, 0), memory_space=pltpu.VMEM
+                (tile, 1), lambda b, i, n: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, _TILE, _TILE),
-            lambda b, i, j, n: (b, i, j),
+            (1, tile, n_pad),
+            lambda b, i, n: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -163,8 +180,7 @@ def fused_masked_gram_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real):
 
 def _gram_tile(spec, n_ref, params_ref, x_ref, y_ref, alpha_ref, out_ref):
     i = pl.program_id(1)
-    j = pl.program_id(2)
-    T = _TILE
+    T, C = out_ref.shape[1], out_ref.shape[2]  # strip rows x all cols
 
     row = params_ref[0, 0, :]  # [amp, noise, inv_ls...]
     amp = row[0]
@@ -201,8 +217,8 @@ def _gram_tile(spec, n_ref, params_ref, x_ref, y_ref, alpha_ref, out_ref):
     K = amp * K
 
     n_real = n_ref[0]
-    rows = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    cols = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    rows = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
     real = (rows < n_real) & (cols < n_real)
     diag = rows == cols
     alpha_rows = alpha_ref[:, 0]
