@@ -101,6 +101,39 @@ def main():
     print(f"worker {idx}/{cnt}: multihost chain parity OK "
           f"({checked} shards, {n_walkers} walkers, {n_global} devices)")
 
+    # ---- candidate-grid sharded acquisition across processes ----
+    # (the DCN plan in parallel/distributed.py: candidate shards need
+    # zero cross-shard communication until the final argmax)
+    from bask_tpu.acquisition import _per_draw_predictions
+
+    rows = np.asarray(ref_chain[-1])[: 2 * n_global]  # a few thetas
+    n_cand = 8 * n_global
+    Xc = np.random.RandomState(7).uniform(size=(n_cand, 2))
+    key2 = jax.random.PRNGKey(9)
+
+    mu_ref, std_ref, _ = _per_draw_predictions(
+        jnp.asarray(rows), data, jnp.asarray(Xc), key2,
+        kernel=kernel, n_warp=0, white_idx=kernel.n_theta - 1,
+        need_sample=False,
+    )
+    mu_ref = np.asarray(mu_ref)
+
+    Xc_sharded = shard_global(Xc, mesh, "walkers", sharded_dim=0)
+    mu_s, std_s, _ = _per_draw_predictions(
+        jnp.asarray(rows), data, Xc_sharded, key2,
+        kernel=kernel, n_warp=0, white_idx=kernel.n_theta - 1,
+        need_sample=False,
+    )
+    checked_c = 0
+    for shard in mu_s.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), mu_ref[shard.index], rtol=1e-12
+        )
+        checked_c += 1
+    assert checked_c >= n_local, checked_c
+    print(f"worker {idx}/{cnt}: multihost candidate-shard acquisition "
+          f"parity OK ({checked_c} shards, {n_cand} candidates)")
+
 
 if __name__ == "__main__":
     main()

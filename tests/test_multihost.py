@@ -57,3 +57,4 @@ def test_two_process_chain_parity():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert "multihost chain parity OK" in out, out
+        assert "candidate-shard acquisition parity OK" in out, out
