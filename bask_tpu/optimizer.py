@@ -192,9 +192,12 @@ class Optimizer:
             raise RuntimeError(
                 "Initialization is finished, but no model has been fit."
             )
-        X = self.space.transform(
-            self.space.rvs(n_samples=self.n_points, random_state=self.rng)
-        )
+        X = self._candidate_grid()  # warp-density candidates when warping
+        if n_points > len(X):
+            raise ValueError(
+                f"ask(n_points={n_points}) exceeds the candidate grid "
+                f"size ({len(X)}); raise Optimizer(n_points=...)"
+            )
         seed = self.rng.randint(0, np.iinfo(np.int32).max)
         if len(X) > 2048:
             # exact joint draws need an O(m^3) factorization of the
@@ -215,7 +218,9 @@ class Optimizer:
                 # exact joint draws build an (m, m) predictive covariance
                 # per draw — subsample the grid so a non-fusable kernel
                 # degrades gracefully instead of OOMing at 65k candidates
-                keep = self.rng.choice(len(X), size=2048, replace=False)
+                keep = self.rng.choice(
+                    len(X), size=max(2048, n_points), replace=False
+                )
                 X = X[keep]
                 order = np.argsort(
                     self.gp.sample_y(

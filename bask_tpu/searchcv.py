@@ -35,7 +35,9 @@ class BayesSearchCV(BaseSearchCV):
     :class:`bask_tpu.Optimizer` (``n_samples``, ``gp_samples``,
     ``gp_burnin`` are extracted as step parameters), ``n_iter``,
     ``return_policy`` in {"best_setting", "best_mean"}, plus the usual
-    sklearn CV arguments.
+    sklearn CV arguments. ``n_points`` (candidates per iteration) is
+    accepted but not implemented — matching the reference, which
+    documents it as such (``bask/searchcv.py:81-83``).
     """
 
     def __init__(
@@ -130,7 +132,6 @@ class BayesSearchCV(BaseSearchCV):
         self.optimizer_kwargs_ = kwargs
 
         self.optimizers_ = []
-        self._search_space_by_candidate = []
         for space, n_iter in self._normalized_spaces():
             optimizer = self._make_optimizer(space)
             self.optimizers_.append((space, optimizer))
@@ -151,10 +152,15 @@ class BayesSearchCV(BaseSearchCV):
                     gp_samples=self.gp_samples_,
                     gp_burnin=self.gp_burnin_,
                 )
-                self._search_space_by_candidate.append((space, optimizer, x))
 
     def _select_best_index(self, refit, refit_metric, results):
         """Honor ``return_policy`` when picking the incumbent."""
+        if callable(refit):
+            # sklearn's callable-refit contract: the user function picks
+            # the index; return_policy must not override it
+            return BaseSearchCV._select_best_index(
+                refit, refit_metric, results
+            )
         default = results[f"rank_test_{refit_metric}"].argmin()
         if self.return_policy != "best_mean" or not getattr(
             self, "optimizers_", None

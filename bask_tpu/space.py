@@ -47,6 +47,19 @@ class Dimension:
         raise NotImplementedError
 
 
+def _check_range(values, low, high, dim):
+    """Validate numeric values against the dimension bounds (skopt's
+    Normalize raises here too); clip away float noise within tolerance."""
+    v = np.asarray(values, dtype=float)
+    eps = 1e-8 * max(1.0, abs(low), abs(high))
+    if np.any(v < low - eps) or np.any(v > high + eps):
+        bad = v[(v < low - eps) | (v > high + eps)]
+        raise ValueError(
+            f"value(s) {bad[:5]} out of bounds ({low}, {high}) for {dim!r}"
+        )
+    return np.clip(v, low, high)
+
+
 class Real(Dimension):
     def __init__(self, low, high, prior="uniform", name=None, transform=None):
         if low >= high:
@@ -61,7 +74,7 @@ class Real(Dimension):
         self.name = name
 
     def transform(self, values):
-        v = np.asarray(values, dtype=float)
+        v = _check_range(values, self.low, self.high, self)
         if self.prior == "log-uniform":
             return (np.log(v) - np.log(self.low)) / (
                 np.log(self.high) - np.log(self.low)
@@ -103,7 +116,7 @@ class Integer(Dimension):
         self.name = name
 
     def transform(self, values):
-        v = np.asarray(values, dtype=float)
+        v = _check_range(values, self.low, self.high, self)
         if self.high == self.low:
             return np.zeros_like(v)
         if self.prior == "log-uniform":
@@ -154,7 +167,15 @@ class Categorical(Dimension):
         return np.eye(len(self.categories))[idx]
 
     def inverse_transform(self, values):
-        arr = np.atleast_2d(np.asarray(values, dtype=float))
+        arr = np.asarray(values, dtype=float)
+        if arr.ndim == 1:
+            # a 1-D input is a column of n points when the one-hot width
+            # is 1 (single category), else a single point's one-hot row
+            arr = (
+                arr[:, None]
+                if len(self.categories) == 1
+                else np.atleast_2d(arr)
+            )
         idx = np.argmax(arr, axis=1)
         return [self.categories[i] for i in idx]
 

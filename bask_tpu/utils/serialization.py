@@ -28,6 +28,18 @@ __all__ = [
 ]
 
 
+def _json_default(obj):
+    """json.dumps fallback: NumPy scalars/arrays show up in Xi /
+    acq_func_kwargs whenever users tell() numpy values."""
+    if isinstance(obj, np.generic):
+        return obj.item()
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    raise TypeError(
+        f"Object of type {type(obj).__name__} is not JSON serializable"
+    )
+
+
 # -- kernel spec <-> dict ----------------------------------------------------
 
 
@@ -257,13 +269,16 @@ def save_optimizer(opt, path: str) -> None:
     """
     import warnings
 
+    from ..optimizer import ACQUISITION_FUNC
+
     gstate = _gpr_state(opt.gp)
     acq_name = None
-    for name, fn in __import__(
-        "bask_tpu.optimizer", fromlist=["ACQUISITION_FUNC"]
-    ).ACQUISITION_FUNC.items():
-        if fn is opt.acq_func:
+    for name, fn in ACQUISITION_FUNC.items():
+        # match by type: the registry holds instances, users may pass
+        # their own fresh instance of the same builtin class
+        if fn is opt.acq_func or type(fn) is type(opt.acq_func):
             acq_name = name
+            break
     if acq_name is None:
         warnings.warn(
             "save_optimizer: acquisition function "
@@ -297,6 +312,13 @@ def save_optimizer(opt, path: str) -> None:
     arrays = dict(gstate["arrays"])
     arrays["rng_keys"] = rng_state[1]
     meta["rng"] = [rng_state[0], int(rng_state[2]), int(rng_state[3]), float(rng_state[4])]
+    # the GP's own RNG stream (MCMC keys, sample_y seeds) must also
+    # round-trip for deterministic resume
+    gp_state = opt.gp.random_state.get_state()
+    arrays["gp_rng_keys"] = gp_state[1]
+    meta["gp_rng"] = [
+        gp_state[0], int(gp_state[2]), int(gp_state[3]), float(gp_state[4])
+    ]
     if getattr(opt, "_init_rng", None) is not None:
         init_state = opt._init_rng.get_state()
         arrays["init_rng_keys"] = init_state[1]
@@ -306,7 +328,9 @@ def save_optimizer(opt, path: str) -> None:
             int(init_state[3]),
             float(init_state[4]),
         ]
-    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+    np.savez_compressed(
+        path, __meta__=json.dumps(meta, default=_json_default), **arrays
+    )
 
 
 def load_optimizer(path: str):
@@ -345,6 +369,11 @@ def load_optimizer(path: str):
         ir = meta["init_rng"]
         opt._init_rng.set_state(
             (ir[0], arrays["init_rng_keys"], ir[1], ir[2], ir[3])
+        )
+    if "gp_rng_keys" in arrays:
+        gr = meta["gp_rng"]
+        opt.gp.random_state.set_state(
+            (gr[0], arrays["gp_rng_keys"], gr[1], gr[2], gr[3])
         )
     _restore_gpr(opt.gp, meta["gpr"], arrays)
     return opt

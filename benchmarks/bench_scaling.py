@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-W = 50
+W = int(os.environ.get("BENCH_W", 50))
 
 
 def main():
