@@ -875,7 +875,8 @@ class BayesGPR:
                 a=a_scale,
             )
         flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
-        kept_steps = np.asarray(chain_dev[n_burnin::n_thin])
+        # same kept-step selection as flatten_chain (emcee semantics)
+        kept_steps = np.asarray(chain_dev[n_burnin + n_thin - 1 :: n_thin])
         if add and self.chain_ is not None:
             if (
                 self.chain_steps_ is not None

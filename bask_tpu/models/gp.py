@@ -143,8 +143,7 @@ def _cross(kernel, theta, Xq, data: GPData):
 
 def predict_mean(kernel, theta, post: GPPosterior, data: GPData, Xq):
     """Predictive mean in original y units; (m,)."""
-    Ks = _cross(kernel, theta, Xq, data)
-    return data.y_mean + data.y_std * (Ks @ post.alpha_dual)
+    return predict(kernel, theta, post, data, Xq)
 
 
 def predict(
@@ -171,7 +170,11 @@ def predict(
     just for this solve measured slower — only pass cached ones.)
     """
     Ks = _cross(kernel, theta_diag, Xq, data)
-    mean = data.y_mean + data.y_std * (Ks @ post.alpha_dual)
+    # full-f32 matvec: alpha_dual = K^-1 y is oscillatory, bf16 passes
+    # lose digits to cancellation (CLAUDE.md rule 5)
+    mean = data.y_mean + data.y_std * jnp.matmul(
+        Ks, post.alpha_dual, precision=jax.lax.Precision.HIGHEST
+    )
     if not (return_std or return_cov):
         return mean
     if invs is not None:
@@ -182,7 +185,12 @@ def predict(
         v = solve_triangular(post.L, Ks.T, lower=True)  # (n_pad, m)
     if return_cov:
         Kqq = kernel.eval(theta_diag, Xq, None)
-        cov = (Kqq - v.T @ v) * data.y_std**2
+        # Kqq - v^T v is a near-cancelling difference near training
+        # points: full precision, like every other solve-adjacent matmul
+        cov = (
+            Kqq
+            - jnp.matmul(v.T, v, precision=jax.lax.Precision.HIGHEST)
+        ) * data.y_std**2
         return mean, cov
     var = kernel.diag(theta_diag, Xq) - jnp.sum(v * v, axis=0)
     var = jnp.maximum(var, 0.0)

@@ -58,15 +58,23 @@ Bounds = Union[str, Tuple[float, float]]
 # ---------------------------------------------------------------------------
 
 
+# z below this is the r -> 0 limit: z**nu underflows while K_nu(z)
+# overflows, so the product must be replaced by its analytic limit
+# (K(0)=1, dK/dr(0)=0 for nu>1/2). Evaluated in float64 regardless of
+# the input dtype — f32 inputs otherwise hit 0*inf = NaN at the
+# epsilon-floored gram diagonal (Matern.eval adds 1e-36 under sqrt).
+_MATERN_Z_TINY = 1e-8
+
+
 def _matern_general_np(r, nu):
     import scipy.special as sps
 
     r = np.asarray(r)
-    z = np.sqrt(2.0 * nu) * r
+    z = np.sqrt(2.0 * nu) * r.astype(np.float64)
     coef = np.exp((1.0 - nu) * np.log(2.0) - sps.gammaln(nu))
     with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
         val = coef * z**nu * sps.kv(nu, z)
-    return np.where(z > 0, val, 1.0).astype(r.dtype)
+    return np.where(z > _MATERN_Z_TINY, val, 1.0).astype(r.dtype)
 
 
 def _matern_general_dr_np(r, nu):
@@ -74,11 +82,11 @@ def _matern_general_dr_np(r, nu):
 
     r = np.asarray(r)
     a = np.sqrt(2.0 * nu)
-    z = a * r
+    z = a * r.astype(np.float64)
     coef = np.exp((1.0 - nu) * np.log(2.0) - sps.gammaln(nu))
     with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
         val = -coef * a * z**nu * sps.kv(nu - 1.0, z)
-    return np.where(z > 0, val, 0.0).astype(r.dtype)
+    return np.where(z > _MATERN_Z_TINY, val, 0.0).astype(r.dtype)
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(1,))

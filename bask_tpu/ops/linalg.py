@@ -110,7 +110,7 @@ def masked_lml(kernel, theta, X, y, alpha_diag, mask):
     L = masked_cholesky(Kp)
     w = solve_triangular(L, y, lower=True)
     lml = (
-        -0.5 * jnp.dot(w, w)
+        -0.5 * jnp.sum(w * w)  # elementwise, not a bf16-pass dot
         - jnp.sum(jnp.where(mask, jnp.log(jnp.diagonal(L)), 0.0))
         - 0.5 * n * _LOG2PI
     )
@@ -215,7 +215,10 @@ def augmented_quadform(L, l_cand, d_cand, A_sol, b):
     (C,) summed quadratic forms  sum_p q_cp  per candidate.
     """
     base = jnp.sum(A_sol * A_sol)  # sum_p |L^{-1} A_p^T|^2
-    # (m, C): b_cp - (A_sol^T l_cand)_pc
-    resid = b - A_sol.T @ l_cand
+    # (m, C): b_cp - (A_sol^T l_cand)_pc — near-cancelling difference
+    # then divided by d_cand: full f32 precision required (CLAUDE.md 5)
+    resid = b - jnp.matmul(
+        A_sol.T, l_cand, precision=jax.lax.Precision.HIGHEST
+    )
     extra = jnp.sum((resid / d_cand[None, :]) ** 2, axis=0)
     return base + extra

@@ -123,6 +123,12 @@ def run_ensemble(
 
 
 def flatten_chain(chain, discard: int = 0, thin: int = 1):
-    """(n_steps, W, D) -> (n_kept * W, D), step-major like emcee flat=True."""
-    kept = chain[discard::thin]
+    """(n_steps, W, D) -> (n_kept * W, D), step-major like emcee flat=True.
+
+    Matches emcee's ``get_chain(discard=, thin=)`` sample selection
+    exactly: the kept steps are ``discard + thin - 1, discard +
+    2*thin - 1, ...`` (emcee ``backends/backend.py`` slices
+    ``[discard + thin - 1 :: thin]``).
+    """
+    kept = chain[discard + thin - 1 :: thin]
     return kept.reshape(-1, chain.shape[-1])

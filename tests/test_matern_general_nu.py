@@ -162,3 +162,22 @@ def test_bayesgpr_fit_general_nu():
     assert np.isfinite(gp.chain_).all()
     mu, std = gp.predict(X, return_std=True)
     assert np.all(np.abs(mu - Y_DATA) < 3 * np.sqrt(std**2 + gp.noise_) + 0.3)
+
+
+def test_general_nu_f32_diagonal_finite():
+    """f32 inputs with the epsilon-floored distance (the TPU hot-path
+    dtype) must not produce 0*inf = NaN on the gram diagonal for any nu
+    (regression: z**nu underflowed while K_nu(z) overflowed before the
+    callback upcast + small-z limit)."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    X32 = jnp.asarray(rng.uniform(size=(6, 2)), jnp.float32)
+    for nu in (0.75, 3.5, 5.0, 20.0):
+        k = bk.Matern(0.3, (0.05, 2.0), nu=nu)
+        t = jnp.asarray(k.theta0, jnp.float32)
+        G = np.asarray(k.eval(t, X32))
+        assert np.isfinite(G).all(), nu
+        np.testing.assert_allclose(np.diag(G), 1.0, rtol=1e-6)
+        g = np.asarray(jax.jacfwd(lambda th: k.eval(th, X32).sum())(t))
+        assert np.isfinite(g).all(), nu
