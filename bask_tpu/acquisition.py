@@ -33,8 +33,14 @@ from .ops.linalg import augmented_quadform
 from .utils.aot import aot_call
 from .utils.stats import norm_cdf, norm_logcdf, norm_pdf
 
+# Route supported single-acquisition tell passes through one fused
+# device program ("on"); "off" forces the legacy multi-dispatch path
+# (used by the parity tests pinning fused == unfused).
+FUSED_ACQUISITION = "on"
+
 __all__ = [
     "evaluate_acquisitions",
+    "evaluate_acquisitions_fused",
     "Acquisition",
     "UncertaintyAcquisition",
     "SampleAcquisition",
@@ -180,8 +186,7 @@ class ThompsonSampling(SampleAcquisition):
         return -gp_sample
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def _variance_explained(theta, post, data, X_cand, P, *, kernel):
+def _variance_explained_body(kernel, theta, post, data, X_cand, P):
     """Total predictive variance at probe points P explained after
     augmenting the training set with each candidate (the PVRS/VR score).
 
@@ -199,6 +204,67 @@ def _variance_explained(theta, post, data, X_cand, P, *, kernel):
     d2 = jnp.maximum(k_cc - jnp.sum(l_cand * l_cand, axis=0), 1e-16)
     b = kernel.eval(theta, P, X_cand)  # (m, C)
     return augmented_quadform(post.L, l_cand, jnp.sqrt(d2), A_sol, b)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _variance_explained(theta, post, data, X_cand, P, *, kernel):
+    return _variance_explained_body(kernel, theta, post, data, X_cand, P)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "n_thompson", "white_idx", "with_thompson"),
+)
+def _fused_fullgp_vals(
+    theta, post, data, Xw, key, *,
+    kernel, n_thompson, white_idx, with_thompson,
+):
+    """ONE device program for the PVRS / VarianceReduction tell pass:
+    (Thompson draws -> probe selection ->) variance-explained scores.
+
+    The legacy path runs ``sample_y`` eagerly (an op-by-op dispatch chain
+    through the remote tunnel) plus a separate jitted score program; this
+    fuses the whole pass. Optimization barriers materialize the Thompson
+    draws and probes exactly where the legacy path crosses to the host,
+    so both paths produce bit-identical scores.
+    """
+    if with_thompson:
+        theta_nf = gpc.noise_free_theta(kernel, theta, white_idx)
+        ts = gpc.sample_y(kernel, theta_nf, post, data, Xw, key, n_thompson)
+        ts = jax.lax.optimization_barrier(ts)
+        P = Xw[jnp.argmin(ts, axis=0)]
+        P = jax.lax.optimization_barrier(P)
+    else:
+        P = Xw
+    return _variance_explained_body(kernel, theta, post, data, Xw, P)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kernel", "n_warp", "white_idx", "need_sample", "acq", "kwargs_tuple",
+    ),
+)
+def _fused_marginal_vals(
+    rows, data, X, key, acq_keys, *,
+    kernel, n_warp, white_idx, need_sample, acq, kwargs_tuple,
+):
+    """ONE device program for a marginalized Uncertainty/Sample
+    acquisition: per-draw predictions + per-draw acquisition values.
+    Returns the (S, m) value matrix; the host applies the same finite
+    filter / averaging as the legacy dispatcher (bit-identical)."""
+    mu_s, std_s, samp_s = _per_draw_body(
+        rows, data, X, key, kernel, n_warp, white_idx, need_sample
+    )
+    mu_s, std_s, samp_s = jax.lax.optimization_barrier(
+        (mu_s, std_s, samp_s)
+    )
+    kw = dict(kwargs_tuple)
+    if isinstance(acq, UncertaintyAcquisition):
+        return jax.vmap(lambda m, s, k: acq(m, s, key=k, **kw))(
+            mu_s, std_s, acq_keys
+        )
+    return jax.vmap(lambda s: acq(s, **kw))(samp_s)
 
 
 class VarianceReduction(FullGPAcquisition):
@@ -246,13 +312,7 @@ class PVRS(FullGPAcquisition):
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=("kernel", "n_warp", "white_idx", "need_sample"),
-)
-def _per_draw_predictions(
-    rows, data, X, key, *, kernel, n_warp, white_idx, need_sample
-):
+def _per_draw_body(rows, data, X, key, kernel, n_warp, white_idx, need_sample):
     """mu/std (and optional function draw) for each hyperposterior row.
 
     Returns (S, m) arrays; one batched factorization for all draws.
@@ -288,6 +348,18 @@ def _per_draw_predictions(
         return mu, std, s
 
     return jax.vmap(one)(rows, keys)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "n_warp", "white_idx", "need_sample"),
+)
+def _per_draw_predictions(
+    rows, data, X, key, *, kernel, n_warp, white_idx, need_sample
+):
+    return _per_draw_body(
+        rows, data, X, key, kernel, n_warp, white_idx, need_sample
+    )
 
 
 def evaluate_acquisitions(
@@ -377,6 +449,102 @@ def evaluate_acquisitions(
             out[i] += vals[finite].sum(axis=0) / n_samples
         pbar.update(1)
     pbar.close()
+    return out
+
+
+def evaluate_acquisitions_fused(
+    X,
+    gpr,
+    acq,
+    n_samples: int = 10,
+    random_state=None,
+    **kwargs,
+):
+    """Fused single-acquisition tell pass (VERDICT r2 #1).
+
+    Evaluates ONE acquisition on the candidate grid in a single device
+    program (per-draw predictions + acquisition values, or Thompson
+    draws + variance scores for PVRS/VR), consuming the host RNG in
+    exactly the same order as :func:`evaluate_acquisitions` — results
+    are bit-identical to the legacy multi-dispatch path. Returns a
+    (1, n_candidates) array, or ``None`` when this acquisition/config is
+    not fusable (caller falls back to the legacy dispatcher).
+    """
+    if FUSED_ACQUISITION != "on":
+        return None
+    X = np.atleast_2d(np.asarray(X, dtype=float))
+    if isinstance(random_state, np.random.RandomState):
+        rs = random_state
+    else:
+        rs = np.random.RandomState(random_state)
+    out = np.zeros((1, X.shape[0]))
+
+    if isinstance(acq, FullGPAcquisition):
+        if type(acq) is PVRS:
+            n_thompson = kwargs.get("n_thompson", 10)
+            seed = rs.randint(0, 2**31 - 1)  # = sample_y(random_state=rs)
+            with_thompson = True
+        elif type(acq) is VarianceReduction:
+            n_thompson, seed, with_thompson = 0, 0, False
+        else:
+            return None  # custom FullGP acquisition: legacy path
+        dt = gpr._dtype()
+        Xw = jnp.asarray(gpr.warp(X), dtype=dt)
+        vals = np.asarray(
+            aot_call(
+                _fused_fullgp_vals,
+                jnp.asarray(gpr._theta, dtype=dt),
+                gpr._post,
+                gpr._post_data,
+                Xw,
+                jax.random.PRNGKey(seed),
+                kernel=gpr._spec,
+                n_thompson=int(n_thompson),
+                white_idx=gpr.white_index_,
+                with_thompson=with_thompson,
+            )
+        )
+        if np.all(np.isfinite(vals)):
+            out[0] = vals
+        return out
+
+    if not isinstance(acq, (UncertaintyAcquisition, SampleAcquisition)):
+        return None
+    if n_samples <= 0:
+        return out
+    try:
+        kwargs_tuple = tuple(sorted(kwargs.items()))
+        hash(kwargs_tuple)
+    except TypeError:
+        return None  # unhashable kwargs: legacy eager fallback path
+
+    dt = gpr._dtype()
+    idx = rs.choice(len(gpr.chain_), replace=False, size=n_samples)
+    rows = jnp.asarray(gpr.chain_[idx], dtype=dt)
+    n_warp = gpr._X_orig.shape[1] if gpr.warp_inputs else 0
+    key = jax.random.PRNGKey(rs.randint(0, 2**31 - 1))
+    acq_keys = jax.random.split(
+        jax.random.PRNGKey(rs.randint(0, 2**31 - 1)), n_samples
+    )
+    vals = np.asarray(
+        aot_call(
+            _fused_marginal_vals,
+            rows,
+            gpr._data,
+            jnp.asarray(X, dtype=dt),
+            key,
+            acq_keys,
+            kernel=gpr._spec,
+            n_warp=n_warp,
+            white_idx=gpr.white_index_,
+            need_sample=isinstance(acq, SampleAcquisition),
+            acq=acq,
+            kwargs_tuple=kwargs_tuple,
+        )
+    )
+    finite = np.all(np.isfinite(vals), axis=1)
+    if finite.any():
+        out[0] += vals[finite].sum(axis=0) / n_samples
     return out
 
 

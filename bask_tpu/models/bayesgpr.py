@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 import warnings
-import weakref
+from collections import OrderedDict
 from contextlib import contextmanager
 from functools import partial
 from typing import Optional
@@ -45,6 +45,12 @@ from . import gp as gpc
 from . import warping as wp
 
 __all__ = ["BayesGPR"]
+
+# Route the common sample() case (no add-chains, no progress bar, no
+# mesh) through the single fused device program `_fused_sample`. "off"
+# forces the legacy multi-dispatch path (used by the parity tests that
+# pin fused == unfused).
+FUSED_SAMPLE = "on"
 
 
 def _bucket(n: int) -> int:
@@ -66,14 +72,20 @@ def _bucket(n: int) -> int:
 
 # Host-callback adapters for NumPy/SciPy priors (reference users pass
 # e.g. ``lambda x: halfnorm(scale=2).logpdf(...)``; those are not JAX-
-# traceable). Cached by prior identity (one cache per wrapping mode —
+# traceable). Cached by prior *equality* (one cache per wrapping mode —
 # element-wise vs joint produce different callback shapes) so the jitted
 # chain, which takes the priors tuple as a static argument, is not
-# recompiled per tell.
+# recompiled per tell. A bounded strong-reference LRU, not a weak dict:
+# transient callables (e.g. ``dist.logpdf`` creates a fresh bound method
+# per attribute access, whose weakref dies immediately) must still map to
+# ONE stable wrapper identity — bound methods of the same object compare
+# and hash equal, so the LRU reuses the wrapper where a weak cache would
+# silently recompile the whole chain every sample().
 _HOST_PRIOR_CACHE = {
-    False: weakref.WeakKeyDictionary(),
-    True: weakref.WeakKeyDictionary(),
+    False: OrderedDict(),
+    True: OrderedDict(),
 }
+_HOST_PRIOR_CACHE_MAX = 64
 
 
 def _host_prior_wrapper(p, joint: bool = False):
@@ -264,8 +276,7 @@ def _lml_value_grad(theta, data, *, kernel):
     return jax.value_and_grad(f)(theta)
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def _posterior_robust(theta, data, *, kernel):
+def _posterior_robust_body(theta, data, kernel):
     """Posterior factorization with a branchless jitter ladder."""
     Kp = masked_gram(kernel, theta, data.X, data.alpha_diag, data.mask)
     scale = jnp.mean(jnp.abs(jnp.diagonal(Kp)))
@@ -278,6 +289,90 @@ def _posterior_robust(theta, data, *, kernel):
     )
     alpha_dual = cho_solve_masked(L, data.y)
     return gpc.GPPosterior(theta=theta, L=L, alpha_dual=alpha_dual)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _posterior_robust(theta, data, *, kernel):
+    return _posterior_robust_body(theta, data, kernel)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _lml_value(theta, data, *, kernel):
+    """Jitted scalar LML (one dispatch instead of an eager op chain)."""
+    return gpc.log_marginal_likelihood(kernel, theta, data)
+
+
+def _consensus_body(kernel, n_warp, theta, la, lb, data):
+    """Warp -> robust factorization -> LML, the consensus-model refresh.
+
+    Shared verbatim by the standalone `_consensus_state` program and the
+    fused sample program (whose median feeds it through an optimization
+    barrier), so both paths compile the identical subgraph on
+    materialized inputs — the fused == unfused bit-parity contract.
+    Returns (posterior, lml, warped X).
+    """
+    if n_warp:
+        data = data._replace(X=wp.warp(data.X, la, lb))
+    post = _posterior_robust_body(theta, data, kernel)
+    lml = gpc.log_marginal_likelihood(kernel, theta, data)
+    return post, lml, data.X
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_warp"))
+def _consensus_state(theta, la, lb, data, *, kernel, n_warp):
+    return _consensus_body(kernel, n_warp, theta, la, lb, data)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kernel", "priors", "warp_prior", "n_warp", "n_steps", "a",
+        "discard", "thin",
+    ),
+)
+def _fused_sample(
+    data, pos0, key, *,
+    kernel, priors, warp_prior, n_warp, n_steps, a, discard, thin,
+):
+    """ONE device program for the whole warm-fit path (VERDICT r2 #1):
+    MCMC chain -> kept-step selection -> geometric median -> consensus
+    posterior factorization (3-rung jitter ladder) -> LML value.
+
+    Replaces ~5 separate dispatches (plus many eager ops for the LML) in
+    ``BayesGPR.sample`` — on the remote tunnel each dispatch costs ~7 ms
+    against ~50 ms of total device compute per BO iteration. Matches the
+    reference's per-tell sequence ``bask/optimizer.py:332-351`` +
+    ``bask/bayesgpr.py:522-548`` end to end.
+    """
+    from ..utils.median import geometric_median
+
+    log_prob = _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data)
+    chain, final = run_ensemble(log_prob, pos0, key, n_steps, a=a)
+    kept = chain[discard + thin - 1 :: thin]
+    # the barrier materializes the flat chain exactly as the legacy
+    # path's separate dispatch would — without it XLA folds the slice
+    # into the median's reductions and the result drifts by ~1 ulp,
+    # breaking the fused == unfused bit-parity contract
+    flat = jax.lax.optimization_barrier(
+        kept.reshape(-1, chain.shape[-1])
+    )
+    median = geometric_median(flat)
+    n_gp = kernel.n_theta
+    theta_med = median[:n_gp]
+    la = median[n_gp : n_gp + n_warp]
+    lb = median[n_gp + n_warp :]
+    # same materialization contract as above: the legacy path hands the
+    # consensus program packed host-side inputs
+    theta_med, la, lb = jax.lax.optimization_barrier((theta_med, la, lb))
+    post, lml, Xw = _consensus_body(kernel, n_warp, theta_med, la, lb, data)
+    return kept, final, median, post, lml, Xw
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_samples"))
+def _sample_y_mean(theta_diag, post, data, Xq, key, *, kernel, n_samples):
+    """Jitted consensus-GP joint draws (one dispatch; also the exact
+    subgraph the fused PVRS program embeds, for bit-parity)."""
+    return gpc.sample_y(kernel, theta_diag, post, data, Xq, key, n_samples)
 
 
 @partial(
@@ -614,21 +709,26 @@ class BayesGPR:
         if self._theta is None or self._data is None:
             return
         data = self._data
+        dt = data.X.dtype
         if self.warp_inputs and self.warp_alphas_ is not None:
-            data = data._replace(
-                X=wp.warp(
-                    data.X,
-                    jnp.asarray(self.warp_alphas_, dtype=data.X.dtype),
-                    jnp.asarray(self.warp_betas_, dtype=data.X.dtype),
-                )
-            )
-        self._post = aot_call(
-            _posterior_robust,
-            jnp.asarray(self._theta, dtype=data.X.dtype),
+            n_warp = self._X_orig.shape[1]
+            la = jnp.asarray(self.warp_alphas_, dtype=dt)
+            lb = jnp.asarray(self.warp_betas_, dtype=dt)
+        else:
+            n_warp = 0
+            la = lb = jnp.zeros(0, dtype=dt)
+        post, lml, Xw = aot_call(
+            _consensus_state,
+            jnp.asarray(self._theta, dtype=dt),
+            la,
+            lb,
             data,
             kernel=self._spec,
+            n_warp=n_warp,
         )
-        self._post_data = data
+        self._post = post
+        self._post_data = data._replace(X=Xw)
+        self._consensus_lml_ = lml
 
     # -- ML-II warm start --------------------------------------------------
 
@@ -715,11 +815,13 @@ class BayesGPR:
             return p
         except Exception:
             pass
+        cache = _HOST_PRIOR_CACHE[joint]
         try:
-            cached = _HOST_PRIOR_CACHE[joint].get(p)
-        except TypeError:  # unhashable / non-weakrefable callable
-            cached = None
+            cached = cache.get(p)
+        except TypeError:  # unhashable callable: no stable cache key
+            cached, cache = None, None
         if cached is not None:
+            cache.move_to_end(p)
             return cached
         warnings.warn(
             "A gp prior is not JAX-traceable and will run through a host "
@@ -730,10 +832,10 @@ class BayesGPR:
             stacklevel=3,
         )
         wrapper = _host_prior_wrapper(p, joint=joint)
-        try:
-            _HOST_PRIOR_CACHE[joint][p] = wrapper
-        except TypeError:
-            pass
+        if cache is not None:
+            cache[p] = wrapper
+            while len(cache) > _HOST_PRIOR_CACHE_MAX:
+                cache.popitem(last=False)
         return wrapper
 
     def sample(
@@ -752,6 +854,7 @@ class BayesGPR:
         position=None,
         add: bool = False,
         mesh=None,
+        warn_rhat: Optional[float] = None,
         **kwargs,
     ):
         """Sample the kernel-hyperparameter posterior on device.
@@ -765,6 +868,14 @@ class BayesGPR:
         walker ensemble is sharded across it (data-parallel LML; the
         stretch move's complementary-half gather becomes the only
         collective). Results are identical to the unsharded run.
+
+        ``warn_rhat``: optional convergence guard — when set, a
+        ``UserWarning`` is raised if the retained step-major chain's
+        maximum split R-hat exceeds it (a typical threshold is 1.1; the
+        reference exposes no diagnostics at all,
+        ``bask/bayesgpr.py:510-534``). Consensus-median estimates are
+        usually usable well before strict convergence, hence a warning
+        rather than an error.
         """
         if (X is None and self._X_orig is None) or self._spec is None:
             raise ValueError(
@@ -820,6 +931,69 @@ class BayesGPR:
             pos_dev = shard_walkers(pos_dev, mesh, axis=mesh.axis_names[0])
         a_scale = float(kwargs.get("a", 2.0))  # stretch-move scale (the
         # reference forwards sampler kwargs to emcee similarly)
+
+        use_fused = (
+            FUSED_SAMPLE == "on"
+            and mesh is None
+            and not progress
+            and not add
+        )
+        if use_fused:
+            # ONE device program: chain -> median -> posterior -> LML
+            # (the warm-tell hot path; see _fused_sample). The add=True /
+            # progress / mesh cases keep the legacy multi-dispatch path
+            # (combined-chain medians, host ticks, sharded positions).
+            kept_dev, final, median_dev, post, lml, Xw = aot_call(
+                _fused_sample,
+                self._data,
+                pos_dev,
+                key,
+                kernel=self._spec,
+                priors=priors,
+                warp_prior=warp_priors,
+                n_warp=n_warp,
+                n_steps=n_steps,
+                a=a_scale,
+                discard=n_burnin,
+                thin=n_thin,
+            )
+            kept_steps = np.asarray(kept_dev)
+            self.chain_steps_ = kept_steps
+            self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
+            self.pos_ = np.asarray(final.pos)
+            if warn_rhat is not None and kept_steps.shape[0] >= 4:
+                from ..utils.diagnostics import split_rhat
+
+                max_rhat = float(np.max(split_rhat(kept_steps)))
+                if max_rhat > warn_rhat:
+                    warnings.warn(
+                        f"MCMC chain may not be converged: max split "
+                        f"R-hat {max_rhat:.3f} exceeds the threshold "
+                        f"{warn_rhat}. Increase n_desired_samples/"
+                        "n_burnin, or inspect mcmc_diagnostics() per "
+                        "dimension.",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+            self.n_accepted_ = int(final.accepted)
+            self.n_proposals_ = n_steps * n_walkers
+            median = np.asarray(median_dev)
+            if self.warp_inputs:
+                self.warp_alphas_ = median[n_gp_dim : n_gp_dim + n_warp]
+                self.warp_betas_ = median[n_gp_dim + n_warp :]
+            theta_med = median[:n_gp_dim]
+            widx = self.white_index_
+            if widx is not None:
+                self.noise_ = float(np.exp(theta_med[widx]))
+            # the program already factorized the consensus posterior —
+            # install it without the setter's extra dispatch
+            self._theta = np.asarray(theta_med, dtype=float)
+            self._post = post
+            self._post_data = self._data._replace(X=Xw)
+            self._consensus_lml_ = lml
+            self.log_marginal_likelihood_value_ = float(lml)
+            return self
+
         if progress:
             # chunked chain with a host progress tick between chunks
             # (the reference shows emcee's bar, bask/bayesgpr.py:523).
@@ -877,6 +1051,7 @@ class BayesGPR:
         flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
         # same kept-step selection as flatten_chain (emcee semantics)
         kept_steps = np.asarray(chain_dev[n_burnin + n_thin - 1 :: n_thin])
+        homogeneous_add = False
         if add and self.chain_ is not None:
             if (
                 self.chain_steps_ is not None
@@ -885,6 +1060,7 @@ class BayesGPR:
             ):
                 # homogeneous walker count: keep ONE step-major array;
                 # the flat chain is a zero-copy view of it
+                homogeneous_add = True
                 kept_steps = np.concatenate([self.chain_steps_, kept_steps])
                 self.chain_steps_ = kept_steps
                 self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
@@ -901,9 +1077,24 @@ class BayesGPR:
             self.chain_steps_ = kept_steps
             self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
         self.pos_ = np.asarray(final.pos)
-        if add and getattr(self, "n_proposals_", 0):
-            # accumulate across add=True runs so diagnostics' acceptance
-            # describes the same combined chain as chain_/chain_steps_
+        if warn_rhat is not None and self.chain_steps_.shape[0] >= 4:
+            from ..utils.diagnostics import split_rhat
+
+            max_rhat = float(np.max(split_rhat(self.chain_steps_)))
+            if max_rhat > warn_rhat:
+                warnings.warn(
+                    f"MCMC chain may not be converged: max split R-hat "
+                    f"{max_rhat:.3f} exceeds the threshold {warn_rhat}. "
+                    "Increase n_desired_samples/n_burnin, or inspect "
+                    "mcmc_diagnostics() per dimension.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+        if homogeneous_add and getattr(self, "n_proposals_", 0):
+            # accumulate across homogeneous add=True runs so diagnostics'
+            # acceptance describes the same combined chain as
+            # chain_steps_; when the walker count changed, chain_steps_
+            # keeps only the latest run, so the counters reset with it
             self.n_accepted_ += int(final.accepted)
             self.n_proposals_ += n_steps * n_walkers
         else:
@@ -918,14 +1109,9 @@ class BayesGPR:
         widx = self.white_index_
         if widx is not None:
             self.noise_ = float(np.exp(theta_med[widx]))
-        self.theta = theta_med  # triggers posterior refresh
-        self.log_marginal_likelihood_value_ = float(
-            gpc.log_marginal_likelihood(
-                self._spec,
-                jnp.asarray(theta_med, dtype=dt),
-                self._post_data,
-            )
-        )
+        self.theta = theta_med  # triggers posterior refresh, which also
+        # evaluates the consensus LML in the same program
+        self.log_marginal_likelihood_value_ = float(self._consensus_lml_)
         return self
 
     def mcmc_diagnostics(self, c: float = 5.0) -> dict:
@@ -1036,23 +1222,52 @@ class BayesGPR:
         finally:
             self._noise_zero = prev
 
-    def _check_fitted(self):
-        """Raise a clear error on an unfitted model.
+    def _is_fitted(self) -> bool:
+        return self._post is not None and self._theta is not None
 
-        Deviation from the sklearn GPR base (which predicts from the
-        prior when unfitted, reference inherits it at
-        ``bask/bayesgpr.py:622``): a fully-Bayesian GP has no chain to
-        marginalize before fitting, so we fail loudly instead —
-        documented in PARITY.md.
+    def _prior_kernel_theta(self):
+        """(kernel, theta0) of the GP *prior* for unfitted predictions.
+
+        Matches the sklearn GPR base the reference inherits
+        (``bask/bayesgpr.py:622``; sklearn predicts from the prior before
+        ``fit``): the user kernel at its initial hyperparameters — the
+        WhiteKernel is only appended at fit time, so the prior excludes
+        it, exactly as upstream.
         """
-        if self._post is None or self._theta is None:
-            from sklearn.exceptions import NotFittedError
+        kernel = self._user_kernel
+        return kernel, jnp.asarray(kernel.theta0, dtype=self._dtype())
 
-            raise NotFittedError(
-                "This BayesGPR instance is not fitted yet; call fit(X, y) "
-                "before predict/sample_y. (Prior prediction without a fit "
-                "is not supported — see PARITY.md.)"
-            )
+    def _prior_predict(
+        self,
+        X,
+        return_std=False,
+        return_cov=False,
+        return_mean_grad=False,
+        return_std_grad=False,
+    ):
+        """Predict from the GP prior (unfitted model): mean 0, variance
+        from the kernel diagonal — sklearn GPR semantics."""
+        kernel, theta = self._prior_kernel_theta()
+        m = X.shape[0]
+        results = [np.zeros(m)]
+        if return_cov:
+            results.append(np.asarray(kernel.eval(theta, X)))
+        elif return_std:
+            var = jnp.maximum(kernel.diag(theta, X), 0.0)
+            results.append(np.asarray(jnp.sqrt(var)))
+        if return_mean_grad:
+            results.append(np.zeros_like(np.asarray(X)))
+        if return_std_grad:
+            # autodiff of sqrt(diag k(x, x)); identically zero for the
+            # stationary kernel family but exact for any spec
+            def std_one(x):
+                v = jnp.maximum(kernel.diag(theta, x[None, :])[0], 1e-30)
+                return jnp.sqrt(v)
+
+            results.append(np.asarray(jax.vmap(jax.grad(std_one))(X)))
+        if len(results) == 1:
+            return results[0]
+        return tuple(results)
 
     def _theta_diag(self):
         t = jnp.asarray(self._theta, dtype=self._dtype())
@@ -1079,8 +1294,17 @@ class BayesGPR:
         return_mean_grad: bool = False,
         return_std_grad: bool = False,
     ):
-        self._check_fitted()
         X = jnp.asarray(np.atleast_2d(X), dtype=self._dtype())
+        if not self._is_fitted():
+            # sklearn-GPR semantics the reference inherits
+            # (bask/bayesgpr.py:622): predict from the GP prior
+            return self._prior_predict(
+                X,
+                return_std=return_std,
+                return_cov=return_cov,
+                return_mean_grad=return_mean_grad,
+                return_std_grad=return_std_grad,
+            )
         if self.warp_inputs:
             from ..utils.validation import validate_zeroone
 
@@ -1127,6 +1351,24 @@ class BayesGPR:
             return results[0]
         return tuple(results)
 
+    def _prior_sample_y(self, X, n_samples, random_state):
+        """Joint draws from the GP prior (unfitted model)."""
+        kernel, theta = self._prior_kernel_theta()
+        if isinstance(random_state, np.random.RandomState):
+            seed = random_state.randint(0, 2**31 - 1)
+        elif random_state is None:
+            seed = self.random_state.randint(0, 2**31 - 1)
+        else:
+            seed = int(random_state)
+        X = jnp.asarray(np.atleast_2d(X), dtype=self._dtype())
+        cov = kernel.eval(theta, X)
+        evals, evecs = jnp.linalg.eigh(cov)
+        factor = evecs * jnp.sqrt(jnp.maximum(evals, 0.0))[None, :]
+        z = jax.random.normal(
+            jax.random.PRNGKey(seed), (X.shape[0], n_samples), dtype=cov.dtype
+        )
+        return np.asarray(factor @ z)
+
     def sample_y(
         self,
         X,
@@ -1141,8 +1383,13 @@ class BayesGPR:
         otherwise each draw uses a random hyperposterior chain row
         (reference ``bask/bayesgpr.py:637-718``) — here vmapped into one
         fused pass instead of a Python loop.
+
+        On an *unfitted* model, draws come from the GP prior (mean 0,
+        covariance from the user kernel at theta0) — the sklearn-GPR
+        behavior the reference inherits.
         """
-        self._check_fitted()
+        if not self._is_fitted():
+            return self._prior_sample_y(X, n_samples, random_state)
         if isinstance(random_state, np.random.RandomState):
             seed = random_state.randint(0, 2**31 - 1)
         elif random_state is None:
@@ -1160,14 +1407,15 @@ class BayesGPR:
             theta_diag = theta if noise else gpc.noise_free_theta(
                 self._spec, theta, widx
             )
-            out = gpc.sample_y(
-                self._spec,
+            out = aot_call(
+                _sample_y_mean,
                 theta_diag,
                 self._post,
                 self._post_data,
                 Xq,
                 key,
-                n_samples,
+                kernel=self._spec,
+                n_samples=n_samples,
             )
             return np.asarray(out)
         rs = np.random.RandomState(seed)

@@ -38,6 +38,7 @@ __all__ = [
     "Sum",
     "Product",
     "Exponentiation",
+    "CompoundKernel",
     "sqdist",
 ]
 
@@ -45,16 +46,19 @@ Bounds = Union[str, Tuple[float, float]]
 
 
 # ---------------------------------------------------------------------------
-# General-nu Matern (modified-Bessel form) via host callback
+# General-nu Matern (modified-Bessel form), fully on device
 #
 # The reference supports arbitrary nu through sklearn's Matern (Bessel
-# K_nu, computed by scipy); there is no closed form XLA can fuse, so this
-# path runs scipy on the host via ``jax.pure_callback``. It is intended
-# for CPU use (parity, exotic models); the fused Pallas/TPU paths never
-# match general nu (``pallas_gram.match_fusable`` returns None) and a
-# TPU backend without host-callback support will fail inside the
-# callback with jax's own error. Gradients use the exact identity
-# d/dz [z^nu K_nu(z)] = -z^nu K_{nu-1}(z).
+# K_nu, computed by scipy). K_nu is evaluated on device by
+# :mod:`bask_tpu.ops.bessel` (Temme series + Steed CF2 + stable upward
+# recurrence — no host callback, so general-nu models work on every
+# backend including the axon tunnel, which rejects callbacks). The
+# value is assembled fully in log space,
+# exp(nu log z + log(e^z K_nu(z)) - z + (1-nu) log 2 - lgamma(nu)),
+# so z^nu underflow cannot produce 0*inf for any nu. Gradients use the
+# exact identity d/dz [z^nu K_nu(z)] = -z^nu K_{nu-1}(z). The fused
+# Pallas paths never match general nu (``pallas_gram.match_fusable``
+# returns None). The ``*_np`` host twins below are kept as test oracles.
 # ---------------------------------------------------------------------------
 
 
@@ -63,6 +67,12 @@ Bounds = Union[str, Tuple[float, float]]
 # (K(0)=1, dK/dr(0)=0 for nu>1/2). Evaluated in float64 regardless of
 # the input dtype — f32 inputs otherwise hit 0*inf = NaN at the
 # epsilon-floored gram diagonal (Matern.eval adds 1e-36 under sqrt).
+# The evaluation itself happens fully in log space,
+# exp(nu*log z + log(kve(nu, z)) - z), so z**nu underflow (which hits
+# z < 10**(-308/nu) — well above this threshold for nu > ~38) cannot
+# produce 0*inf for ANY nu; the only remaining non-finite source is
+# kve() itself overflowing at tiny z, which the isfinite guard maps to
+# the same analytic limit.
 _MATERN_Z_TINY = 1e-8
 
 
@@ -71,10 +81,17 @@ def _matern_general_np(r, nu):
 
     r = np.asarray(r)
     z = np.sqrt(2.0 * nu) * r.astype(np.float64)
-    coef = np.exp((1.0 - nu) * np.log(2.0) - sps.gammaln(nu))
     with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
-        val = coef * z**nu * sps.kv(nu, z)
-    return np.where(z > _MATERN_Z_TINY, val, 1.0).astype(r.dtype)
+        logval = (
+            (1.0 - nu) * np.log(2.0)
+            - sps.gammaln(nu)
+            + nu * np.log(z)
+            + np.log(sps.kve(nu, z))
+            - z
+        )
+        val = np.exp(logval)
+    ok = (z > _MATERN_Z_TINY) & np.isfinite(logval)
+    return np.where(ok, val, 1.0).astype(r.dtype)
 
 
 def _matern_general_dr_np(r, nu):
@@ -83,33 +100,68 @@ def _matern_general_dr_np(r, nu):
     r = np.asarray(r)
     a = np.sqrt(2.0 * nu)
     z = a * r.astype(np.float64)
-    coef = np.exp((1.0 - nu) * np.log(2.0) - sps.gammaln(nu))
     with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
-        val = -coef * a * z**nu * sps.kv(nu - 1.0, z)
-    return np.where(z > _MATERN_Z_TINY, val, 0.0).astype(r.dtype)
+        # d/dr [coef * z^nu K_nu(z)] = -coef * a * z^nu K_{nu-1}(z);
+        # kve handles the negative order (kve(-v, z) == kve(v, z))
+        logmag = (
+            (1.0 - nu) * np.log(2.0)
+            - sps.gammaln(nu)
+            + nu * np.log(z)
+            + np.log(sps.kve(nu - 1.0, z))
+            - z
+        )
+        val = -np.exp(logmag) * a
+    ok = (z > _MATERN_Z_TINY) & np.isfinite(logmag)
+    return np.where(ok, val, 0.0).astype(r.dtype)
+
+
+def _matern_general_compute_dtype():
+    # accumulate in f64 where the backend has it (the CPU parity path);
+    # f32-only backends run the same code at f32 accuracy
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(1,))
 def _matern_general(r, nu):
-    return jax.pure_callback(
-        lambda rr: _matern_general_np(rr, nu),
-        jax.ShapeDtypeStruct(r.shape, r.dtype),
-        r,
-        vmap_method="broadcast_all",
+    from .bessel import log_kve
+
+    dt = r.dtype
+    rr = r.astype(_matern_general_compute_dtype())
+    a = math.sqrt(2.0 * nu)
+    z = a * rr
+    logval = (
+        (1.0 - nu) * math.log(2.0)
+        - math.lgamma(nu)
+        + nu * jnp.log(z)
+        + log_kve(nu, z)
+        - z
     )
+    ok = (z > _MATERN_Z_TINY) & jnp.isfinite(logval)
+    return jnp.where(ok, jnp.exp(logval), 1.0).astype(dt)
 
 
 @_matern_general.defjvp
 def _matern_general_jvp(nu, primals, tangents):
+    from .bessel import log_kve
+
     (r,) = primals
     (dr,) = tangents
     primal = _matern_general(r, nu)
-    grad = jax.pure_callback(
-        lambda rr: _matern_general_dr_np(rr, nu),
-        jax.ShapeDtypeStruct(r.shape, r.dtype),
-        r,
-        vmap_method="broadcast_all",
+    dt = r.dtype
+    rr = r.astype(_matern_general_compute_dtype())
+    a = math.sqrt(2.0 * nu)
+    z = a * rr
+    # d/dr [coef z^nu K_nu(z)] = -coef a z^nu K_{nu-1}(z); K is even in
+    # its order, so |nu-1| handles nu < 1
+    logmag = (
+        (1.0 - nu) * math.log(2.0)
+        - math.lgamma(nu)
+        + nu * jnp.log(z)
+        + log_kve(abs(nu - 1.0), z)
+        - z
     )
+    ok = (z > _MATERN_Z_TINY) & jnp.isfinite(logmag)
+    grad = jnp.where(ok, -jnp.exp(logmag) * a, 0.0).astype(dt)
     return primal, grad * dr
 
 
@@ -445,6 +497,66 @@ class Product(Sum):
 
 
 @dataclass(frozen=True)
+class CompoundKernel(Kernel):
+    """Container of independent kernels with concatenated theta.
+
+    Analogue of sklearn's ``CompoundKernel``, which the reference
+    special-cases in ``guess_priors`` (``bask/utils.py:74-78``). Like
+    upstream it is a parameter-space container, not a covariance
+    function usable for GP fitting: ``eval`` returns the *stacked*
+    per-kernel grams (n, m, K), matching sklearn's semantics.
+    """
+
+    kernels: Tuple[Kernel, ...] = ()
+
+    def __post_init__(self):
+        object.__setattr__(self, "kernels", tuple(self.kernels))
+
+    @property
+    def n_theta(self):
+        return sum(k.n_theta for k in self.kernels)
+
+    @property
+    def theta0(self):
+        if not self.kernels:
+            return np.zeros(0)
+        return np.concatenate([k.theta0 for k in self.kernels])
+
+    @property
+    def bounds(self):
+        if not self.kernels:
+            return np.zeros((0, 2))
+        return np.concatenate([k.bounds for k in self.kernels], axis=0)
+
+    def _split(self, theta):
+        out, lo = [], 0
+        for k in self.kernels:
+            out.append(theta[lo : lo + k.n_theta])
+            lo += k.n_theta
+        return out
+
+    def eval(self, theta, X, Y=None):
+        parts = self._split(theta)
+        return jnp.stack(
+            [k.eval(t, X, Y) for k, t in zip(self.kernels, parts)], axis=-1
+        )
+
+    def diag(self, theta, X):
+        parts = self._split(theta)
+        return jnp.stack(
+            [k.diag(t, X) for k, t in zip(self.kernels, parts)], axis=-1
+        )
+
+    def _with_theta(self, theta):
+        new = []
+        rest = theta
+        for k in self.kernels:
+            nk, rest = k._with_theta(rest)
+            new.append(nk)
+        return CompoundKernel(tuple(new)), rest
+
+
+@dataclass(frozen=True)
 class Exponentiation(Kernel):
     kernel: Kernel = field(default=None)
     exponent: float = 1.0
@@ -481,6 +593,11 @@ def iter_leaves(kernel):
     """Depth-first leaf iterator in sklearn theta order."""
     if isinstance(kernel, Exponentiation):
         yield from iter_leaves(kernel.kernel)
+    elif isinstance(kernel, CompoundKernel):
+        # reference guess_priors special-case (bask/utils.py:74-78):
+        # traverse each member kernel in order
+        for k in kernel.kernels:
+            yield from iter_leaves(k)
     elif isinstance(kernel, (Sum, Product)):
         yield from iter_leaves(kernel.k1)
         yield from iter_leaves(kernel.k2)

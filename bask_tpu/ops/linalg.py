@@ -117,6 +117,50 @@ def masked_lml(kernel, theta, X, y, alpha_diag, mask):
     return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
 
 
+# HBM budget for one walker-batch of (chunk, n_pad, n_pad) grams: the
+# factorization holds roughly gram + factor + block inverses + panel
+# temps alive at once (~4x the gram bytes), so 2 GB of gram batch keeps
+# the working set near 8 GB — comfortable on a 16 GB v5e chip. Large-n
+# full ensembles (e.g. n=4096, W=100: 6.7 GB of grams alone) exceed it
+# and are split into equal walker chunks inside a lax.map — identical
+# per-walker results (each walker's gram/factorization/reductions are
+# independent), graceful memory instead of an OOM. The north-star shape
+# (100, 512, 512) is ~100 MB and never chunks.
+LML_MAX_BATCH_BYTES = 2_000_000_000
+
+
+def _lml_chunk_walkers(n_pad: int, itemsize: int, W: int) -> int:
+    per_walker = n_pad * n_pad * itemsize
+    return max(1, min(W, int(LML_MAX_BATCH_BYTES // per_walker)))
+
+
+def _lml_batch_direct(kernel, spec, thetas, X, y, alpha_diag, mask):
+    """One unchunked walker batch (fused Pallas gram or vmap fallback)."""
+    if spec is not None:
+        from . import pallas_gram as pg
+
+        n_real = jnp.sum(mask)
+        # LOWER_GRAM: the factorization reads only the lower triangle,
+        # so the symmetric-half kernel can skip the upper tiles (see
+        # pallas_gram.LOWER_GRAM; default picked by measurement)
+        if pg.LOWER_GRAM == "on" and X.shape[-2] % pg._SQ_TILE == 0:
+            Kp = pg.fused_masked_gram_lower_batch(
+                spec, thetas, X, alpha_diag, n_real
+            )
+        else:
+            Kp = pg.fused_masked_gram_batch(
+                spec, thetas, X, alpha_diag, n_real
+            )
+        return batched_lml_from_gram(Kp, y, mask)
+    if X.ndim == 3:
+        return jax.vmap(
+            lambda t, Xi: masked_lml(kernel, t, Xi, y, alpha_diag, mask)
+        )(thetas, X)
+    return jax.vmap(lambda t: masked_lml(kernel, t, X, y, alpha_diag, mask))(
+        thetas
+    )
+
+
 def batched_lml(kernel, thetas, X, y, alpha_diag, mask):
     """LML for a batch of thetas: (W, n_theta) -> (W,).
 
@@ -126,6 +170,10 @@ def batched_lml(kernel, thetas, X, y, alpha_diag, mask):
     (:mod:`bask_tpu.ops.pallas_gram`) and the factorizations from one
     batched Cholesky. ``X`` may be (n_pad, d) or per-walker
     (W, n_pad, d) (input warping). Falls back to a vmapped scalar path.
+
+    When the (W, n_pad, n_pad) gram batch would blow the HBM budget
+    (``LML_MAX_BATCH_BYTES``), the walker axis is processed in equal
+    chunks inside a ``lax.map`` — bit-identical results, bounded memory.
     """
     n_pad = X.shape[-2]
     # any 64-multiple bucket: the Pallas gram picks the largest divisor
@@ -140,19 +188,41 @@ def batched_lml(kernel, thetas, X, y, alpha_diag, mask):
         from .pallas_gram import match_fusable
 
         spec = match_fusable(kernel)
-    if spec is not None:
-        from .pallas_gram import fused_masked_gram_batch
 
-        n_real = jnp.sum(mask)
-        Kp = fused_masked_gram_batch(spec, thetas, X, alpha_diag, n_real)
-        return batched_lml_from_gram(Kp, y, mask)
+    W, D = thetas.shape
+    chunk = _lml_chunk_walkers(n_pad, X.dtype.itemsize, W)
+    if chunk >= W:
+        return _lml_batch_direct(kernel, spec, thetas, X, y, alpha_diag, mask)
+
+    k = -(-W // chunk)
+    pad = k * chunk - W
+    if pad:
+        thetas = jnp.concatenate(
+            [thetas, jnp.broadcast_to(thetas[:1], (pad, D))]
+        )
+    thetas_c = thetas.reshape(k, chunk, D)
     if X.ndim == 3:
-        return jax.vmap(
-            lambda t, Xi: masked_lml(kernel, t, Xi, y, alpha_diag, mask)
-        )(thetas, X)
-    return jax.vmap(lambda t: masked_lml(kernel, t, X, y, alpha_diag, mask))(
-        thetas
-    )
+        Xw = X
+        if pad:
+            Xw = jnp.concatenate(
+                [Xw, jnp.broadcast_to(Xw[:1], (pad,) + Xw.shape[1:])]
+            )
+        Xc = Xw.reshape((k, chunk) + Xw.shape[1:])
+
+        out = jax.lax.map(
+            lambda args: _lml_batch_direct(
+                kernel, spec, args[0], args[1], y, alpha_diag, mask
+            ),
+            (thetas_c, Xc),
+        )
+    else:
+        out = jax.lax.map(
+            lambda t: _lml_batch_direct(
+                kernel, spec, t, X, y, alpha_diag, mask
+            ),
+            thetas_c,
+        )
+    return out.reshape(-1)[:W]
 
 
 def batched_lml_from_gram(Kp, y, mask):

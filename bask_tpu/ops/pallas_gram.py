@@ -34,7 +34,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import kernels as bk
 
-__all__ = ["match_fusable", "fused_masked_gram_batch", "FusedSpec"]
+__all__ = [
+    "match_fusable",
+    "fused_masked_gram_batch",
+    "fused_masked_gram_lower_batch",
+    "FusedSpec",
+]
+
+# Lower-triangle-only gram ("symmetric-half", VERDICT r2 #5). The fused
+# gram's only consumer in the chain is the batched Cholesky, whose HLO
+# semantics read ONLY the lower triangle — so the strictly-upper tiles
+# need never be computed. The lower variant uses square 128-tiles with a
+# pl.when skip: upper tiles are written as zeros (no distance matmul,
+# no transcendentals), lower tiles are bit-identical to the full
+# kernel's values. Requires n_pad % 128 == 0 (Mosaic square-tile minor
+# dim); other buckets stay on the full row-strip kernel. The default is
+# chosen by hardware measurement — see BASELINE.md "symmetric-half
+# gram" — because square tiles pay more per-program overhead than the
+# 256-row strips (the reason strips won in round 2).
+LOWER_GRAM = "off"
+_SQ_TILE = 128
 
 # Preferred row-strip height. Each grid program computes a full
 # (rows x n_pad) strip: the minor block dimension equals the array
@@ -176,6 +195,144 @@ def fused_masked_gram_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real):
         out_shape=jax.ShapeDtypeStruct((B, n_pad, n_pad), jnp.float32),
         grid_spec=grid_spec,
     )(n_real_arr, packed, X, X, alpha_diag[:, None])
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def fused_masked_gram_lower_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real):
+    """Masked grams, LOWER triangle only: (B, n_pad, n_pad).
+
+    Strictly-upper 128-tiles are zeros; the lower triangle (including
+    the full diagonal tiles' lower halves... the diagonal tiles are
+    computed in full) carries exactly the values of
+    :func:`fused_masked_gram_batch`. Safe wherever the consumer is a
+    Cholesky factorization (XLA reads the lower triangle only).
+    """
+    B, _ = thetas.shape
+    if X.ndim == 2:
+        X = jnp.broadcast_to(X[None], (B,) + X.shape)
+    _, n_pad, d = X.shape
+    tile = _SQ_TILE
+    assert n_pad % tile == 0, f"n_pad={n_pad} not a multiple of {tile}"
+    tiles = n_pad // tile
+
+    off = 1 if spec.has_const else 0
+    amp = (
+        jnp.exp(thetas[:, 0]) if spec.has_const else jnp.ones(B, thetas.dtype)
+    )
+    noise = (
+        jnp.exp(thetas[:, off + spec.n_ls])
+        if spec.has_white
+        else jnp.zeros(B, thetas.dtype)
+    )
+    inv_ls = jnp.exp(-thetas[:, off : off + spec.n_ls])
+    if spec.n_ls == 1:
+        inv_ls = jnp.broadcast_to(inv_ls, (B, d))
+    packed = jnp.concatenate(
+        [amp[:, None], noise[:, None], inv_ls], axis=1
+    ).astype(jnp.float32)[:, None, :]  # (B, 1, d+2)
+
+    n_real_arr = jnp.asarray(n_real, dtype=jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, tiles, tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, d + 2),
+                lambda b, i, j, n: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile, d),
+                lambda b, i, j, n: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile, d),
+                lambda b, i, j, n: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile, 1),
+                lambda b, i, j, n: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, tile),
+            lambda b, i, j, n: (b, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    def body(n_ref, theta_ref, x_ref, y_ref, alpha_ref, out_ref):
+        _gram_tile_lower(
+            spec, n_ref, theta_ref, x_ref, y_ref, alpha_ref, out_ref
+        )
+
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, n_pad), jnp.float32),
+        grid_spec=grid_spec,
+    )(n_real_arr, packed, X, X, alpha_diag[:, None])
+
+
+def _gram_tile_lower(spec, n_ref, params_ref, x_ref, y_ref, alpha_ref, out_ref):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    T, C = out_ref.shape[1], out_ref.shape[2]
+
+    @pl.when(j > i)
+    def _skip():
+        out_ref[0, :, :] = jnp.zeros((T, C), jnp.float32)
+
+    @pl.when(j <= i)
+    def _compute():
+        row = params_ref[0, 0, :]
+        amp = row[0]
+        noise = row[1]
+        inv_ls = row[2:]
+
+        Xi = x_ref[0, :, :] * inv_ls[None, :]
+        Xj = y_ref[0, :, :] * inv_ls[None, :]
+        d2 = (
+            jnp.sum(Xi * Xi, axis=1)[:, None]
+            + jnp.sum(Xj * Xj, axis=1)[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                Xi,
+                Xj,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        d2 = jnp.maximum(d2, 0.0)
+        if spec.nu == math.inf:
+            K = jnp.exp(-0.5 * d2)
+        else:
+            r = jnp.sqrt(d2 + 1e-36)
+            if spec.nu == 0.5:
+                K = jnp.exp(-r)
+            elif spec.nu == 1.5:
+                s = math.sqrt(3.0) * r
+                K = (1.0 + s) * jnp.exp(-s)
+            else:
+                s = math.sqrt(5.0) * r
+                K = (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+        K = amp * K
+
+        n_real = n_ref[0]
+        rows = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
+        cols = j * C + jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+        real = (rows < n_real) & (cols < n_real)
+        diag = rows == cols
+        alpha_rows = alpha_ref[:, 0]
+        K = jnp.where(real, K, 0.0)
+        diag_val = K + noise + alpha_rows[:, None]
+        K = jnp.where(diag & real, diag_val, K)
+        K = jnp.where(diag & ~real, 1.0, K)
+        out_ref[0, :, :] = K
 
 
 def _gram_tile(spec, n_ref, params_ref, x_ref, y_ref, alpha_ref, out_ref):

@@ -351,15 +351,29 @@ class Optimizer:
 
             t_acq = _time.perf_counter()
             X = self._candidate_grid()
-            acq_values = evaluate_acquisitions(
+            acq_seed = self.rng.randint(0, np.iinfo(np.int32).max)
+            # one fused device program for supported acquisitions (the
+            # warm-tell hot path); bit-identical legacy fallback for
+            # custom/unhashable configurations
+            acq_out = acq_mod.evaluate_acquisitions_fused(
                 X=X,
                 gpr=self.gp,
-                acquisition_functions=(self.acq_func,),
+                acq=self.acq_func,
                 n_samples=n_samples,
-                progress=False,
-                random_state=self.rng.randint(0, np.iinfo(np.int32).max),
+                random_state=acq_seed,
                 **self.acq_func_kwargs,
-            ).flatten()
+            )
+            if acq_out is None:
+                acq_out = evaluate_acquisitions(
+                    X=X,
+                    gpr=self.gp,
+                    acquisition_functions=(self.acq_func,),
+                    n_samples=n_samples,
+                    progress=False,
+                    random_state=acq_seed,
+                    **self.acq_func_kwargs,
+                )
+            acq_values = acq_out.flatten()
             self._next_x = self.space.inverse_transform(
                 X[np.argmax(acq_values)][None, :]
             )[0]

@@ -44,6 +44,11 @@ def _json_default(obj):
 
 
 def kernel_to_dict(k: bk.Kernel) -> dict:
+    if isinstance(k, bk.CompoundKernel):
+        return {
+            "type": "CompoundKernel",
+            "kernels": [kernel_to_dict(kk) for kk in k.kernels],
+        }
     if isinstance(k, bk.Sum) or isinstance(k, bk.Product):
         return {
             "type": type(k).__name__,
@@ -92,6 +97,10 @@ def _bounds(b):
 
 def kernel_from_dict(d: dict) -> bk.Kernel:
     t = d["type"]
+    if t == "CompoundKernel":
+        return bk.CompoundKernel(
+            tuple(kernel_from_dict(kk) for kk in d["kernels"])
+        )
     if t in ("Sum", "Product"):
         cls = bk.Sum if t == "Sum" else bk.Product
         return cls(kernel_from_dict(d["k1"]), kernel_from_dict(d["k2"]))
@@ -260,18 +269,24 @@ def load_gpr(path: str):
 # -- Optimizer state ---------------------------------------------------------
 
 
-def save_optimizer(opt, path: str) -> None:
+def save_optimizer(opt, path: str, pickle_unsupported: bool = False) -> None:
     """Serialize an Optimizer (observations + GP + RNG) to ``path``.
 
-    Limitations (warned about, not silent): custom acquisition instances
-    and callable ``gp_priors`` cannot round-trip through npz — the
-    restored optimizer falls back to "pvrs" / guessed priors.
+    Built-in acquisitions round-trip by registry name. Custom acquisition
+    instances and callable ``gp_priors`` have no npz representation; with
+    ``pickle_unsupported=True`` they are embedded as pickle blobs
+    (restored only by ``load_optimizer(path, allow_pickle=True)`` — an
+    explicit opt-in on BOTH ends, because unpickling executes code).
+    Without the opt-in the save warns and the restored optimizer falls
+    back to "pvrs" / guessed priors, as before.
     """
+    import pickle
     import warnings
 
     from ..optimizer import ACQUISITION_FUNC
 
     gstate = _gpr_state(opt.gp)
+    pickle_arrays = {}
     acq_name = None
     for name, fn in ACQUISITION_FUNC.items():
         # match by type: the registry holds instances, users may pass
@@ -280,20 +295,35 @@ def save_optimizer(opt, path: str) -> None:
             acq_name = name
             break
     if acq_name is None:
-        warnings.warn(
-            "save_optimizer: acquisition function "
-            f"{type(opt.acq_func).__name__!r} is not in ACQUISITION_FUNC "
-            "and cannot be serialized; the restored optimizer will use "
-            "'pvrs'. Re-assign opt.acq_func after load_optimizer.",
-            stacklevel=2,
-        )
+        if pickle_unsupported:
+            pickle_arrays["pickle_acq"] = np.frombuffer(
+                pickle.dumps(opt.acq_func), dtype=np.uint8
+            )
+            acq_name = "__pickled__"
+        else:
+            warnings.warn(
+                "save_optimizer: acquisition function "
+                f"{type(opt.acq_func).__name__!r} is not in ACQUISITION_FUNC "
+                "and cannot be serialized; the restored optimizer will use "
+                "'pvrs'. Pass pickle_unsupported=True to embed it as a "
+                "pickle blob, or re-assign opt.acq_func after "
+                "load_optimizer.",
+                stacklevel=2,
+            )
     if opt.gp_priors is not None:
-        warnings.warn(
-            "save_optimizer: gp_priors are callables and are not "
-            "serialized; the restored optimizer will guess priors from "
-            "the kernel. Re-assign opt.gp_priors after load_optimizer.",
-            stacklevel=2,
-        )
+        if pickle_unsupported:
+            pickle_arrays["pickle_priors"] = np.frombuffer(
+                pickle.dumps(opt.gp_priors), dtype=np.uint8
+            )
+        else:
+            warnings.warn(
+                "save_optimizer: gp_priors are callables and are not "
+                "serialized; the restored optimizer will guess priors from "
+                "the kernel. Pass pickle_unsupported=True to embed them as "
+                "a pickle blob, or re-assign opt.gp_priors after "
+                "load_optimizer.",
+                stacklevel=2,
+            )
     meta = {
         "dimensions": [_dim_to_dict(d) for d in opt.space.dimensions],
         "n_points": opt.n_points,
@@ -310,6 +340,7 @@ def save_optimizer(opt, path: str) -> None:
     }
     rng_state = opt.rng.get_state()
     arrays = dict(gstate["arrays"])
+    arrays.update(pickle_arrays)
     arrays["rng_keys"] = rng_state[1]
     meta["rng"] = [rng_state[0], int(rng_state[2]), int(rng_state[3]), float(rng_state[4])]
     # the GP's own RNG stream (MCMC keys, sample_y seeds) must also
@@ -333,13 +364,42 @@ def save_optimizer(opt, path: str) -> None:
     )
 
 
-def load_optimizer(path: str):
-    """Restore an Optimizer saved by :func:`save_optimizer`."""
+def load_optimizer(path: str, allow_pickle: bool = False):
+    """Restore an Optimizer saved by :func:`save_optimizer`.
+
+    ``allow_pickle=True`` additionally restores custom acquisition
+    instances / callable gp_priors embedded by
+    ``save_optimizer(..., pickle_unsupported=True)``. SECURITY: the
+    blobs execute arbitrary code on load — only enable this for
+    checkpoints you wrote yourself.
+    """
+    import pickle
+    import warnings
+
     from ..optimizer import Optimizer
 
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         arrays = {k: z[k] for k in z.files if k != "__meta__"}
+
+    acq_func = meta["acq_func"]
+    if acq_func == "__pickled__":
+        if allow_pickle and "pickle_acq" in arrays:
+            warnings.warn(
+                "load_optimizer: restoring a pickled custom acquisition "
+                "function — unpickling executes code; only load "
+                "checkpoints you trust.",
+                stacklevel=2,
+            )
+            acq_func = pickle.loads(arrays["pickle_acq"].tobytes())
+        else:
+            warnings.warn(
+                "load_optimizer: checkpoint contains a pickled custom "
+                "acquisition function; pass allow_pickle=True to restore "
+                "it. Falling back to 'pvrs'.",
+                stacklevel=2,
+            )
+            acq_func = "pvrs"
 
     opt = Optimizer(
         dimensions=[_dim_from_dict(d) for d in meta["dimensions"]],
@@ -347,7 +407,7 @@ def load_optimizer(path: str):
         n_initial_points=meta["n_initial_points"],
         init_strategy=meta["init_strategy"],
         gp_kernel=kernel_from_dict(meta["gpr"]["kernel_user"]),
-        acq_func=meta["acq_func"],
+        acq_func=acq_func,
         acq_func_kwargs=meta["acq_func_kwargs"],
         gp_kwargs=dict(
             alpha=meta["gpr"]["alpha"],
@@ -375,5 +435,21 @@ def load_optimizer(path: str):
         opt.gp.random_state.set_state(
             (gr[0], arrays["gp_rng_keys"], gr[1], gr[2], gr[3])
         )
+    if "pickle_priors" in arrays:
+        if allow_pickle:
+            warnings.warn(
+                "load_optimizer: restoring pickled gp_priors — "
+                "unpickling executes code; only load checkpoints you "
+                "trust.",
+                stacklevel=2,
+            )
+            opt.gp_priors = pickle.loads(arrays["pickle_priors"].tobytes())
+        else:
+            warnings.warn(
+                "load_optimizer: checkpoint contains pickled gp_priors; "
+                "pass allow_pickle=True to restore them. Falling back to "
+                "kernel-guessed priors.",
+                stacklevel=2,
+            )
     _restore_gpr(opt.gp, meta["gpr"], arrays)
     return opt

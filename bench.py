@@ -163,8 +163,13 @@ def bench_tpu():
     acq_elapsed = time.perf_counter() - t0
     acq_evals_per_s = 100 * 512 / acq_elapsed
 
-    # chain-health evidence for the headline number: R-hat / ESS of the
-    # post-burnin timed chain (host-side, not in the timed section)
+    # chain-health CONTEXT for the headline number (host-side, not in
+    # the timed section). NB: this is a fixed-workload throughput
+    # benchmark (the 100x300 shape is driver-defined) — the R-hat/ESS
+    # below describe how far that fixed chain got, they are NOT a claim
+    # of convergence. At 300 steps the worst dimension typically sits
+    # near R-hat ~1.8; reaching R-hat < 1.1 on this problem needs a
+    # longer chain (see BASELINE.md "chain length to convergence").
     from bask_tpu.utils.diagnostics import effective_sample_size, split_rhat
 
     steps = np.asarray(chain)[N_STEPS // 3:]
@@ -240,6 +245,21 @@ def bench_cpu_reference():
     return per_step * N_STEPS, spread
 
 
+def _pinned_baseline():
+    """Pinned steady-state CPU reference from BASELINE.json (VERDICT r2
+    #6): the live CPU measurement swings with machine load (r1 308 s,
+    r2-driver 193 s, r2-idle 256 s for the identical workload), which
+    made `vs_baseline` noise. The pinned idle-machine value makes the
+    speedup reproducible; the live measure is kept as a sanity field."""
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__), "BASELINE.json")
+        ) as f:
+            return json.load(f).get("pinned_cpu_baseline")
+    except Exception:
+        return None
+
+
 def main():
     quick = "--quick" in sys.argv
     global N_STEPS, CPU_MEASURE_STEPS, CPU_MEASURE_REPS
@@ -250,7 +270,11 @@ def main():
 
     tpu_time, acc, acq_rate, rhat, ess = bench_tpu()
     cpu_time, cpu_spread = bench_cpu_reference()
-    speedup = cpu_time / tpu_time
+    pinned = None if quick else _pinned_baseline()
+    if pinned is not None:
+        speedup = pinned["seconds"] / tpu_time
+    else:
+        speedup = cpu_time / tpu_time
 
     print(
         json.dumps(
@@ -260,16 +284,25 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(speedup, 2),
                 "detail": {
-                    "cpu_reference_extrapolated_s": round(cpu_time, 1),
-                    "cpu_reference_spread_s": [
+                    "cpu_reference_pinned_s": (
+                        pinned["seconds"] if pinned is not None else None
+                    ),
+                    "cpu_reference_live_s": round(cpu_time, 1),
+                    "cpu_reference_live_spread_s": [
                         round(cpu_spread[0], 1),
                         round(cpu_spread[1], 1),
                     ],
+                    "vs_baseline_live": round(cpu_time / tpu_time, 2),
                     "acceptance_rate": round(acc, 3),
                     "n_steps": N_STEPS,
                     "acquisition_evals_per_s": round(acq_rate),
+                    # fixed-workload context, not a convergence claim:
+                    # the timed 300-step chain is NOT converged by this
+                    # threshold (see bench_tpu comments / BASELINE.md)
                     "chain_max_rhat": round(rhat, 3),
                     "chain_min_ess": round(ess, 1),
+                    "rhat_threshold": 1.1,
+                    "chain_converged_at_rhat_1.1": bool(rhat < 1.1),
                 },
             }
         )

@@ -1,0 +1,153 @@
+"""Fused warm-tell path (VERDICT r2 #1).
+
+The warm BO iteration used to cost ~10 separate device programs (chain,
+median, posterior, eager LML chain, eager Thompson draws, scores,
+per-draw predictions, acquisition eval); it now runs as TWO fused
+programs — ``_fused_sample`` (chain -> median -> consensus posterior ->
+LML) and one fused acquisition program — with BIT-IDENTICAL results to
+the legacy multi-dispatch path (pinned here on the CPU backend).
+"""
+
+import numpy as np
+import pytest
+
+import bask_tpu.acquisition as am
+import bask_tpu.models.bayesgpr as bg
+from bask_tpu import Optimizer
+from bask_tpu.ops import kernels as bk
+
+
+@pytest.fixture
+def fused_switch():
+    """Restore the fused-path flags after each test."""
+    yield
+    bg.FUSED_SAMPLE = "on"
+    am.FUSED_ACQUISITION = "on"
+
+
+def _fit_gp(warp):
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(9, 2))
+    y = np.sin(3 * X[:, 0]) + 0.1 * rng.randn(9)
+    gp = bg.BayesGPR(
+        kernel=bk.ConstantKernel(1.0, (0.1, 2.0))
+        * bk.Matern((0.3, 0.3), (0.05, 2.0), nu=2.5),
+        random_state=7,
+        warp_inputs=warp,
+    )
+    gp.fit(
+        X, y, n_desired_samples=40, n_burnin=3, n_walkers_per_thread=10,
+        progress=False,
+    )
+    return gp
+
+
+@pytest.mark.parametrize("warp", [False, True])
+def test_fused_sample_bit_identical(fused_switch, warp):
+    bg.FUSED_SAMPLE = "on"
+    g1 = _fit_gp(warp)
+    bg.FUSED_SAMPLE = "off"
+    g2 = _fit_gp(warp)
+    assert np.array_equal(g1.chain_, g2.chain_)
+    assert np.array_equal(g1.pos_, g2.pos_)
+    assert np.array_equal(g1.theta, g2.theta)
+    assert np.array_equal(g1.L_, g2.L_)
+    assert (
+        g1.log_marginal_likelihood_value_
+        == g2.log_marginal_likelihood_value_
+    )
+    Xq = np.random.RandomState(5).uniform(size=(6, 2))
+    mu1, s1 = g1.predict(Xq, return_std=True)
+    mu2, s2 = g2.predict(Xq, return_std=True)
+    assert np.array_equal(mu1, mu2) and np.array_equal(s1, s2)
+
+
+def _bo_next_xs(acq, n_samples, warp, fused):
+    bg.FUSED_SAMPLE = "on" if fused else "off"
+    am.FUSED_ACQUISITION = "on" if fused else "off"
+    opt = Optimizer(
+        dimensions=[(-1.0, 1.0), (0.0, 2.0)],
+        n_points=60,
+        n_initial_points=3,
+        init_strategy="random",
+        acq_func=acq,
+        random_state=11,
+        gp_kwargs={"warp_inputs": warp} if warp else None,
+    )
+    rng = np.random.RandomState(3)
+    nxs = []
+    for _ in range(5):
+        x = opt.ask()
+        y = float((np.asarray(x) ** 2).sum() + 0.05 * rng.randn())
+        opt.tell(x, y, n_samples=n_samples, gp_samples=40, gp_burnin=3)
+        if opt._next_x is not None:
+            nxs.append(np.asarray(opt._next_x, dtype=float))
+    return np.asarray(nxs)
+
+
+@pytest.mark.parametrize(
+    "acq,n_samples,warp",
+    [
+        ("pvrs", 0, False),
+        ("vr", 0, False),
+        ("ei", 5, False),
+        ("ts", 5, False),
+        ("mes", 3, False),
+        ("pvrs", 0, True),
+    ],
+)
+def test_fused_tell_next_x_bit_identical(fused_switch, acq, n_samples, warp):
+    a = _bo_next_xs(acq, n_samples, warp, fused=True)
+    b = _bo_next_xs(acq, n_samples, warp, fused=False)
+    assert np.array_equal(a, b)
+
+
+def test_warm_tell_is_two_device_programs(fused_switch, monkeypatch):
+    """The whole warm tell (PVRS default) dispatches exactly TWO device
+    programs: the fused sample and the fused acquisition pass."""
+    from bask_tpu.utils import aot
+
+    opt = Optimizer(
+        dimensions=[(-1.0, 1.0)],
+        n_points=40,
+        n_initial_points=2,
+        init_strategy="random",
+        acq_func="pvrs",
+        random_state=0,
+    )
+    rng = np.random.RandomState(1)
+    for _ in range(3):  # init phase + first (cold) fit
+        x = opt.ask()
+        opt.tell(x, float(x[0] ** 2 + 0.01 * rng.randn()), gp_samples=40,
+                 gp_burnin=3)
+
+    calls = []
+    real = aot.aot_call
+
+    def counting(fn, *args, **kwargs):
+        calls.append(getattr(fn, "__name__", str(fn)))
+        return real(fn, *args, **kwargs)
+
+    # both call sites import aot_call by name — patch them directly
+    monkeypatch.setattr(bg, "aot_call", counting)
+    monkeypatch.setattr(am, "aot_call", counting)
+    x = opt.ask()
+    opt.tell(x, float(x[0] ** 2), gp_samples=40, gp_burnin=3)
+    assert len(calls) == 2, calls
+    assert "_fused_sample" in calls[0]
+    assert "_fused_fullgp_vals" in calls[1]
+
+
+def test_custom_acquisition_falls_back(fused_switch):
+    """A custom FullGP acquisition is not fusable; the dispatcher must
+    return None and the legacy path must still drive the loop."""
+
+    class MyFullGP(am.FullGPAcquisition):
+        def __call__(self, X, gp, *args, **kwargs):
+            mu = gp.predict(np.asarray(X))
+            return -np.asarray(mu)
+
+    out = am.evaluate_acquisitions_fused(
+        np.zeros((3, 1)), gpr=None, acq=MyFullGP(), n_samples=0
+    )
+    assert out is None

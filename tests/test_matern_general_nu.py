@@ -1,10 +1,14 @@
-"""General-nu Matern (Bessel form, host scipy callback).
+"""General-nu Matern (on-device Bessel form).
 
 The reference supports arbitrary nu through sklearn's Matern (used by the
-kernel algebra at reference ``bask/bayesgpr.py:163``). Parity targets:
-gram/LML/predict against sklearn at nu=0.75, LML gradients against finite
-differences (the custom-JVP Bessel identity), and an end-to-end BayesGPR
-fit on the CPU path.
+kernel algebra at reference ``bask/bayesgpr.py:163``). K_nu evaluates on
+device (``bask_tpu.ops.bessel``: Temme series + Steed CF2) — no host
+callback, so general-nu works on backends that reject callbacks (the
+axon TPU tunnel). Parity targets: kve against scipy over the full
+operating range, gram/LML/predict against sklearn at nu=0.75, LML
+gradients against finite differences (the custom-JVP Bessel identity),
+an end-to-end BayesGPR fit, and a lowering check that the traced path
+contains no callback custom-calls.
 """
 
 import numpy as np
@@ -162,6 +166,63 @@ def test_bayesgpr_fit_general_nu():
     assert np.isfinite(gp.chain_).all()
     mu, std = gp.predict(X, return_std=True)
     assert np.all(np.abs(mu - Y_DATA) < 3 * np.sqrt(std**2 + gp.noise_) + 0.3)
+
+
+def test_kve_matches_scipy_wide_range():
+    """On-device exp-scaled Bessel K vs scipy over order and argument."""
+    import scipy.special as sps
+
+    from bask_tpu.ops.bessel import kve
+
+    x = np.concatenate(
+        [np.geomspace(1e-10, 2.0, 120), np.geomspace(2.0, 300.0, 120)]
+    )
+    for nu in (0.0, 0.05, 0.25, 0.49, 0.5, 0.75, 1.2, 3.7, 12.9, 37.6):
+        ours = np.asarray(kve(nu, jnp.asarray(x)))
+        ref = sps.kve(nu, x)
+        finite = np.isfinite(ref)
+        np.testing.assert_allclose(ours[finite], ref[finite], rtol=1e-11)
+        # where scipy's own recurrence overflows (large order, tiny x),
+        # ours must be inf or a huge near-overflow value (it can stay
+        # finite slightly deeper into the corner than scipy does)
+        assert (
+            ~np.isfinite(ours[~finite]) | (ours[~finite] > 1e300)
+        ).all()
+
+
+def test_matern_general_matches_scipy_vmapped():
+    """VERDICT r2 #4 contract: rtol <= 1e-6 (met at 1e-10) vs the scipy
+    formula over nu in {0.75, 1.2, 3.7}, r in [1e-8, 50], under vmap."""
+    import scipy.special as sps
+
+    from bask_tpu.ops.kernels import _matern_general
+
+    r = np.geomspace(1e-8, 50.0, 400)
+    rows = jnp.asarray(r.reshape(8, 50))
+    for nu in (0.75, 1.2, 3.7):
+        z = np.sqrt(2 * nu) * r
+        coef = np.exp((1 - nu) * np.log(2.0) - sps.gammaln(nu))
+        with np.errstate(over="ignore", invalid="ignore"):
+            ref = np.where(z > 1e-8, coef * z**nu * sps.kv(nu, z), 1.0)
+        ours = np.asarray(
+            jax.vmap(lambda rr: _matern_general(rr, nu))(rows)
+        ).ravel()
+        np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-300)
+
+
+def test_matern_general_traced_path_has_no_callback():
+    """The general-nu gram must lower to pure XLA ops: backends without
+    host-callback support (the axon TPU tunnel) run it natively."""
+    k = bk.Matern(0.3, (0.05, 2.0), nu=1.7)
+    t = jnp.asarray(k.theta0)
+    Xq = jnp.asarray(np.random.RandomState(0).uniform(size=(4, 2)))
+    text = jax.jit(lambda th: k.eval(th, Xq)).lower(t).as_text()
+    assert "callback" not in text.lower()
+    # gradients too (the custom JVP evaluates K_{nu-1} on device)
+    gtext = (
+        jax.jit(jax.grad(lambda th: k.eval(th, Xq).sum())).lower(t).as_text()
+    )
+    assert "callback" not in gtext.lower()
 
 
 def test_general_nu_f32_diagonal_finite():

@@ -118,3 +118,69 @@ def test_fused_gram_per_walker_X(interpret_pallas):
             )
         )
         np.testing.assert_allclose(K[b], K_ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kernel", CASES)
+def test_lower_gram_matches_full_lower_triangle(kernel, interpret_pallas):
+    """Symmetric-half kernel (VERDICT r2 #5): lower triangle bit-equal
+    to the full kernel, strictly-upper 128-tiles exactly zero."""
+    pg = interpret_pallas
+    spec = pg.match_fusable(kernel)
+    rng = np.random.RandomState(2)
+    n, n_pad, d, B = 200, 256, 3, 2
+    X = np.full((n_pad, d), 0.5, np.float32)
+    X[:n] = rng.uniform(size=(n, d))
+    alpha = np.full(n_pad, 1e-6, np.float32)
+    thetas = (
+        kernel.theta0[None, :] + 0.2 * rng.randn(B, kernel.n_theta)
+    ).astype(np.float32)
+
+    K_full = np.asarray(
+        pg.fused_masked_gram_batch(
+            spec, jnp.asarray(thetas), jnp.asarray(X), jnp.asarray(alpha), n
+        )
+    )
+    K_low = np.asarray(
+        pg.fused_masked_gram_lower_batch(
+            spec, jnp.asarray(thetas), jnp.asarray(X), jnp.asarray(alpha), n
+        )
+    )
+    t = pg._SQ_TILE
+    tile_r = np.arange(n_pad) // t
+    upper_tile = tile_r[:, None] < tile_r[None, :]
+    for b in range(B):
+        assert np.array_equal(
+            K_low[b][~upper_tile], K_full[b][~upper_tile]
+        )
+        assert (K_low[b][upper_tile] == 0).all()
+
+
+def test_lower_gram_lml_identical(interpret_pallas, monkeypatch):
+    """The Cholesky reads only the lower triangle, so LMLs from the
+    lower-only gram must be IDENTICAL to the full-gram path."""
+    pg = interpret_pallas
+    kernel = CASES[0]
+    spec = pg.match_fusable(kernel)
+    rng = np.random.RandomState(3)
+    n, n_pad, B = 100, 128, 4
+    d = 3
+    X = np.full((n_pad, d), 0.5, np.float32)
+    X[:n] = rng.uniform(size=(n, d))
+    alpha = np.full(n_pad, 1e-6, np.float32)
+    mask = jnp.asarray(np.arange(n_pad) < n)
+    y = np.zeros(n_pad, np.float32)
+    y[:n] = rng.randn(n).astype(np.float32)
+    thetas = (
+        kernel.theta0[None, :] + 0.1 * rng.randn(B, kernel.n_theta)
+    ).astype(np.float32)
+
+    Kf = pg.fused_masked_gram_batch(
+        spec, jnp.asarray(thetas), jnp.asarray(X), jnp.asarray(alpha), n
+    )
+    Kl = pg.fused_masked_gram_lower_batch(
+        spec, jnp.asarray(thetas), jnp.asarray(X), jnp.asarray(alpha), n
+    )
+    lml_f = np.asarray(linalg.batched_lml_from_gram(Kf, jnp.asarray(y), mask))
+    lml_l = np.asarray(linalg.batched_lml_from_gram(Kl, jnp.asarray(y), mask))
+    assert np.isfinite(lml_f).all()
+    assert np.array_equal(lml_f, lml_l)

@@ -86,16 +86,55 @@ class TestWhiteThetaIndex:
         assert bk.white_theta_index(k) == 2
 
 
-def test_unfitted_predict_raises_notfitted():
-    from sklearn.exceptions import NotFittedError
+class TestUnfittedPriorPredict:
+    """Unfitted predict/sample_y use the GP *prior* — the sklearn GPR
+    behavior the reference inherits (``bask/bayesgpr.py:622``)."""
 
-    from bask_tpu import BayesGPR
+    def _pair(self):
+        import sklearn.gaussian_process as skgp
+        import sklearn.gaussian_process.kernels as skk
 
-    gpr = BayesGPR()
-    with pytest.raises(NotFittedError):
-        gpr.predict(np.zeros((1, 2)))
-    with pytest.raises(NotFittedError):
-        gpr.sample_y(np.zeros((1, 2)), n_samples=2)
+        from bask_tpu import BayesGPR
+        from bask_tpu.ops import kernels as bk
+
+        k = bk.ConstantKernel(2.0, (0.1, 10.0)) * bk.Matern(
+            0.7, (0.05, 2.0), nu=2.5
+        )
+        sk = skk.ConstantKernel(2.0, (0.1, 10.0)) * skk.Matern(
+            0.7, (0.05, 2.0), nu=2.5
+        )
+        return BayesGPR(kernel=k), skgp.GaussianProcessRegressor(
+            kernel=sk, optimizer=None
+        )
+
+    def test_prior_mean_std_cov_match_sklearn(self):
+        gpr, skr = self._pair()
+        X = np.random.RandomState(0).uniform(size=(7, 3))
+        mu, std = gpr.predict(X, return_std=True)
+        mu_ref, std_ref = skr.predict(X, return_std=True)
+        np.testing.assert_allclose(mu, mu_ref, atol=1e-12)
+        np.testing.assert_allclose(std, std_ref, rtol=1e-10)
+        _, cov = gpr.predict(X, return_cov=True)
+        _, cov_ref = skr.predict(X, return_cov=True)
+        np.testing.assert_allclose(cov, cov_ref, rtol=1e-10, atol=1e-12)
+
+    def test_prior_grads_zero_for_stationary(self):
+        gpr, _ = self._pair()
+        X = np.random.RandomState(1).uniform(size=(4, 3))
+        mu, std, mg, sg = gpr.predict(
+            X, return_std=True, return_mean_grad=True, return_std_grad=True
+        )
+        np.testing.assert_allclose(mg, 0.0, atol=1e-12)
+        np.testing.assert_allclose(sg, 0.0, atol=1e-9)
+
+    def test_prior_sample_y_moments(self):
+        gpr, _ = self._pair()
+        X = np.random.RandomState(2).uniform(size=(5, 3))
+        draws = gpr.sample_y(X, n_samples=4000, random_state=0)
+        assert draws.shape == (5, 4000)
+        # prior mean 0, marginal variance = kernel diagonal (2.0)
+        np.testing.assert_allclose(draws.mean(axis=1), 0.0, atol=0.15)
+        np.testing.assert_allclose(draws.var(axis=1), 2.0, rtol=0.15)
 
 
 def test_searchcv_forwards_fit_params():
