@@ -246,7 +246,10 @@ def _run_chain_chunk(
 
 @partial(jax.jit, static_argnames=("kernel",))
 def _lml_value_grad(theta, data, *, kernel):
-    """Value+grad of the LML for the ML-II warm start.
+    """Value+grad of the LML for the ML-II warm start, packed into ONE
+    output vector [value, grad...] (one device->host fetch per L-BFGS
+    step — fetch latency, not compute, dominates the warm start on a
+    remote tunnel).
 
     Always differentiates the plain XLA Cholesky path (never the
     blocked-matmul fast path): XLA's cholesky has a compact, well-tested
@@ -273,7 +276,8 @@ def _lml_value_grad(theta, data, *, kernel):
         )
         return -jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
 
-    return jax.value_and_grad(f)(theta)
+    v, g = jax.value_and_grad(f)(theta)
+    return jnp.concatenate([v[None], g])
 
 
 def _posterior_robust_body(theta, data, kernel):
@@ -365,7 +369,21 @@ def _fused_sample(
     # consensus program packed host-side inputs
     theta_med, la, lb = jax.lax.optimization_barrier((theta_med, la, lb))
     post, lml, Xw = _consensus_body(kernel, n_warp, theta_med, la, lb, data)
-    return kept, final, median, post, lml, Xw
+    # every host-bound output rides ONE flat blob: on a remote tunnel a
+    # device->host fetch costs ~24 ms of round-trip latency regardless
+    # of size, so five separate fetches (~120 ms) dominated the warm
+    # tell. The posterior/Xw stay on device (no fetch).
+    dt = pos0.dtype
+    blob = jnp.concatenate(
+        [
+            flat.ravel(),
+            final.pos.astype(dt).ravel(),
+            median.astype(dt),
+            jnp.asarray(final.accepted, dt)[None],
+            jnp.asarray(lml, dt)[None],
+        ]
+    )
+    return blob, post, Xw
 
 
 @partial(jax.jit, static_argnames=("kernel", "n_samples"))
@@ -747,11 +765,16 @@ class BayesGPR:
         dt = self._dtype()
 
         def obj(t):
-            v, g = aot_call(
-                _lml_value_grad, jnp.asarray(t, dtype=dt), data, kernel=kernel
+            vg = np.asarray(
+                aot_call(
+                    _lml_value_grad,
+                    jnp.asarray(t, dtype=dt),
+                    data,
+                    kernel=kernel,
+                ),
+                dtype=float,
             )
-            v = float(v)
-            g = np.asarray(g, dtype=float)
+            v, g = float(vg[0]), vg[1:]
             if not np.isfinite(v):
                 return 1e25, np.zeros_like(g)
             return v, g
@@ -943,7 +966,7 @@ class BayesGPR:
             # (the warm-tell hot path; see _fused_sample). The add=True /
             # progress / mesh cases keep the legacy multi-dispatch path
             # (combined-chain medians, host ticks, sharded positions).
-            kept_dev, final, median_dev, post, lml, Xw = aot_call(
+            blob_dev, post, Xw = aot_call(
                 _fused_sample,
                 self._data,
                 pos_dev,
@@ -957,10 +980,20 @@ class BayesGPR:
                 discard=n_burnin,
                 thin=n_thin,
             )
-            kept_steps = np.asarray(kept_dev)
+            # ONE fetch for everything host-bound (see _fused_sample)
+            blob = np.asarray(blob_dev)
+            n_kept = len(range(n_burnin + n_thin - 1, n_steps, n_thin))
+            sz_chain = n_kept * n_walkers * n_dim
+            sz_pos = n_walkers * n_dim
+            kept_steps = blob[:sz_chain].reshape(n_kept, n_walkers, n_dim)
             self.chain_steps_ = kept_steps
             self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
-            self.pos_ = np.asarray(final.pos)
+            self.pos_ = blob[sz_chain : sz_chain + sz_pos].reshape(
+                n_walkers, n_dim
+            )
+            median = blob[sz_chain + sz_pos : sz_chain + sz_pos + n_dim]
+            accepted = int(round(float(blob[-2])))
+            lml = float(blob[-1])
             if warn_rhat is not None and kept_steps.shape[0] >= 4:
                 from ..utils.diagnostics import split_rhat
 
@@ -975,9 +1008,8 @@ class BayesGPR:
                         UserWarning,
                         stacklevel=2,
                     )
-            self.n_accepted_ = int(final.accepted)
+            self.n_accepted_ = accepted
             self.n_proposals_ = n_steps * n_walkers
-            median = np.asarray(median_dev)
             if self.warp_inputs:
                 self.warp_alphas_ = median[n_gp_dim : n_gp_dim + n_warp]
                 self.warp_betas_ = median[n_gp_dim + n_warp :]
@@ -991,7 +1023,7 @@ class BayesGPR:
             self._post = post
             self._post_data = self._data._replace(X=Xw)
             self._consensus_lml_ = lml
-            self.log_marginal_likelihood_value_ = float(lml)
+            self.log_marginal_likelihood_value_ = lml
             return self
 
         if progress:

@@ -81,6 +81,12 @@ def bench_tpu():
     linalg.FAST_CHOLESKY = (
         "off" if os.environ.get("BENCH_FAST") == "0" else "auto"
     )
+    # BENCH_LOWER_GRAM=1 switches the chain to the symmetric-half Pallas
+    # gram (lower-triangle tiles only; VERDICT r2 #5 A/B measurement)
+    if os.environ.get("BENCH_LOWER_GRAM") == "1":
+        from bask_tpu.ops import pallas_gram as _pg
+
+        _pg.LOWER_GRAM = "on"
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     X, y = _dataset()

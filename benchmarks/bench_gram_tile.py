@@ -3,6 +3,7 @@
     python benchmarks/bench_gram_tile.py 128
     python benchmarks/bench_gram_tile.py 256
     python benchmarks/bench_gram_tile.py xla     # generic kernel.eval path
+    python benchmarks/bench_gram_tile.py lower   # symmetric-half kernel
 
 One variant per process (axon timing gotchas); in-scan, scalar-fetch
 synced, full-output sink.
@@ -51,6 +52,10 @@ def main():
             return jax.vmap(
                 lambda t: masked_gram(kernel, t, X, alpha, mask)
             )(th)
+    elif which == "lower":
+
+        def gram(th):
+            return pg.fused_masked_gram_lower_batch(spec, th, X, alpha, N)
     else:
         pg._TILE = int(which)
 

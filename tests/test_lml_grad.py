@@ -30,7 +30,10 @@ def test_lml_gradient_matches_sklearn():
     data = gpc.make_data(X, y, np.full(n, 1e-10), np.ones(n, bool))
     for shift in (0.0, 0.15, -0.2):
         theta = ours.theta0 + shift
-        v, g = bg._lml_value_grad(jnp.asarray(theta), data, kernel=ours)
+        vg = np.asarray(
+            bg._lml_value_grad(jnp.asarray(theta), data, kernel=ours)
+        )
+        v, g = vg[0], vg[1:]  # packed [value, grad...] (one fetch)
         ref_v, ref_g = m.log_marginal_likelihood(theta, eval_gradient=True)
         np.testing.assert_allclose(float(-v), ref_v, rtol=1e-8)
         np.testing.assert_allclose(-np.asarray(g), ref_g, rtol=1e-6, atol=1e-9)
