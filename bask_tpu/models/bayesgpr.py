@@ -127,6 +127,24 @@ def _host_prior_wrapper(p, joint: bool = False):
     return host_prior
 
 
+def _maybe_warn_rhat(kept_steps, warn_rhat):
+    """Shared convergence guard of both sample() branches."""
+    if warn_rhat is None or kept_steps.shape[0] < 4:
+        return
+    from ..utils.diagnostics import split_rhat
+
+    max_rhat = float(np.max(split_rhat(kept_steps)))
+    if max_rhat > warn_rhat:
+        warnings.warn(
+            f"MCMC chain may not be converged: max split R-hat "
+            f"{max_rhat:.3f} exceeds the threshold {warn_rhat}. "
+            "Increase n_desired_samples/n_burnin, or inspect "
+            "mcmc_diagnostics() per dimension.",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 def _eval_priors(priors, theta_gp):
     if callable(priors):
         return priors(theta_gp)
@@ -374,12 +392,17 @@ def _fused_sample(
     # of size, so five separate fetches (~120 ms) dominated the warm
     # tell. The posterior/Xw stay on device (no fetch).
     dt = pos0.dtype
+    # the acceptance count rides as two base-2^12 digits so it stays
+    # exact in float32 up to 2^36 proposals (a bare f32 lane rounds
+    # above 2^24, which very long chains can exceed)
+    acc = final.accepted
     blob = jnp.concatenate(
         [
             flat.ravel(),
             final.pos.astype(dt).ravel(),
             median.astype(dt),
-            jnp.asarray(final.accepted, dt)[None],
+            jnp.asarray(acc // 4096, dt)[None],
+            jnp.asarray(acc % 4096, dt)[None],
             jnp.asarray(lml, dt)[None],
         ]
     )
@@ -927,6 +950,12 @@ class BayesGPR:
         n_walkers = max(2, n_threads * n_walkers_per_thread)
         if n_walkers % 2:
             n_walkers += 1
+        if mesh is not None:
+            # each complementary HALF-ensemble must shard evenly across
+            # the mesh: round the walker count up to a multiple of
+            # 2 * n_devices (e.g. 100 walkers on 8 devices -> 112)
+            m = 2 * int(np.prod(list(mesh.shape.values())))
+            n_walkers = -(-n_walkers // m) * m
         n_steps = int(math.ceil(n_desired_samples / n_walkers)) + n_burnin
 
         if position is not None:
@@ -992,22 +1021,11 @@ class BayesGPR:
                 n_walkers, n_dim
             )
             median = blob[sz_chain + sz_pos : sz_chain + sz_pos + n_dim]
-            accepted = int(round(float(blob[-2])))
+            accepted = int(round(float(blob[-3]))) * 4096 + int(
+                round(float(blob[-2]))
+            )
             lml = float(blob[-1])
-            if warn_rhat is not None and kept_steps.shape[0] >= 4:
-                from ..utils.diagnostics import split_rhat
-
-                max_rhat = float(np.max(split_rhat(kept_steps)))
-                if max_rhat > warn_rhat:
-                    warnings.warn(
-                        f"MCMC chain may not be converged: max split "
-                        f"R-hat {max_rhat:.3f} exceeds the threshold "
-                        f"{warn_rhat}. Increase n_desired_samples/"
-                        "n_burnin, or inspect mcmc_diagnostics() per "
-                        "dimension.",
-                        UserWarning,
-                        stacklevel=2,
-                    )
+            _maybe_warn_rhat(kept_steps, warn_rhat)
             self.n_accepted_ = accepted
             self.n_proposals_ = n_steps * n_walkers
             if self.warp_inputs:
@@ -1109,19 +1127,7 @@ class BayesGPR:
             self.chain_steps_ = kept_steps
             self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
         self.pos_ = np.asarray(final.pos)
-        if warn_rhat is not None and self.chain_steps_.shape[0] >= 4:
-            from ..utils.diagnostics import split_rhat
-
-            max_rhat = float(np.max(split_rhat(self.chain_steps_)))
-            if max_rhat > warn_rhat:
-                warnings.warn(
-                    f"MCMC chain may not be converged: max split R-hat "
-                    f"{max_rhat:.3f} exceeds the threshold {warn_rhat}. "
-                    "Increase n_desired_samples/n_burnin, or inspect "
-                    "mcmc_diagnostics() per dimension.",
-                    UserWarning,
-                    stacklevel=2,
-                )
+        _maybe_warn_rhat(self.chain_steps_, warn_rhat)
         if homogeneous_add and getattr(self, "n_proposals_", 0):
             # accumulate across homogeneous add=True runs so diagnostics'
             # acceptance describes the same combined chain as
@@ -1596,8 +1602,11 @@ class BayesGPR:
         if data is None:
             data = self._data
         return float(
-            gpc.log_marginal_likelihood(
-                self._spec, jnp.asarray(theta, dtype=self._dtype()), data
+            aot_call(
+                _lml_value,
+                jnp.asarray(theta, dtype=self._dtype()),
+                data,
+                kernel=self._spec,
             )
         )
 

@@ -419,10 +419,11 @@ class Matern(RBF):
 
     The reference's default kernel uses nu=2.5 (reference
     ``bask/utils.py:144-150``); nu in {0.5, 1.5, 2.5, inf} have fused
-    closed forms. Other nu use the modified-Bessel form through a host
-    scipy callback (see :func:`_matern_general`) — correct anywhere a
-    host callback is available (CPU parity path), never matched by the
-    fused Pallas/TPU fast paths.
+    closed forms matched by the Pallas fast paths. Every other nu
+    evaluates the modified-Bessel form fully ON DEVICE
+    (:mod:`bask_tpu.ops.bessel` via :func:`_matern_general`) — works on
+    any backend, including ones that reject host callbacks (the axon
+    TPU tunnel) — just never on the fused Pallas gram path.
     """
 
     nu: float = 1.5

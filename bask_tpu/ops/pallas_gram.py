@@ -72,6 +72,74 @@ def _pick_tile(n_pad: int) -> int:
     return 64
 
 
+def _pack_params(spec: "FusedSpec", thetas, B: int, d: int):
+    """Pre-exponentiate per-walker params into one packed row
+    [amp, noise, 1/ls...] so kernel bodies do fixed-offset vector reads.
+    Shared by the full-strip and lower-triangle kernels."""
+    off = 1 if spec.has_const else 0
+    amp = (
+        jnp.exp(thetas[:, 0]) if spec.has_const else jnp.ones(B, thetas.dtype)
+    )
+    noise = (
+        jnp.exp(thetas[:, off + spec.n_ls])
+        if spec.has_white
+        else jnp.zeros(B, thetas.dtype)
+    )
+    inv_ls = jnp.exp(-thetas[:, off : off + spec.n_ls])
+    if spec.n_ls == 1:
+        inv_ls = jnp.broadcast_to(inv_ls, (B, d))
+    return jnp.concatenate(
+        [amp[:, None], noise[:, None], inv_ls], axis=1
+    ).astype(jnp.float32)[:, None, :]  # (B, 1, d+2)
+
+
+def _tile_values(spec, params_row, xi, xj, alpha_rows, n_real, rows, cols):
+    """One masked gram tile: distance matmul + Matern/RBF transcendental
+    + mask/diagonal fusion. Shared verbatim by both kernels — the
+    lower-triangle variant's bit-parity contract ('lower tiles identical
+    to the full kernel') rides on this single implementation."""
+    amp = params_row[0]
+    noise = params_row[1]
+    inv_ls = params_row[2:]
+
+    Xi = xi * inv_ls[None, :]
+    Xj = xj * inv_ls[None, :]
+    d2 = (
+        jnp.sum(Xi * Xi, axis=1)[:, None]
+        + jnp.sum(Xj * Xj, axis=1)[None, :]
+        - 2.0
+        * jax.lax.dot_general(
+            Xi,
+            Xj,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    )
+    d2 = jnp.maximum(d2, 0.0)
+    if spec.nu == math.inf:
+        K = jnp.exp(-0.5 * d2)
+    else:
+        r = jnp.sqrt(d2 + 1e-36)
+        if spec.nu == 0.5:
+            K = jnp.exp(-r)
+        elif spec.nu == 1.5:
+            s = math.sqrt(3.0) * r
+            K = (1.0 + s) * jnp.exp(-s)
+        else:
+            s = math.sqrt(5.0) * r
+            K = (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+    K = amp * K
+
+    real = (rows < n_real) & (cols < n_real)
+    diag = rows == cols
+    K = jnp.where(real, K, 0.0)
+    diag_val = K + noise + alpha_rows[:, None]
+    K = jnp.where(diag & real, diag_val, K)
+    K = jnp.where(diag & ~real, 1.0, K)
+    return K
+
+
 class FusedSpec(NamedTuple):
     """Trace-time description of a fusable kernel tree."""
 
@@ -132,22 +200,7 @@ def fused_masked_gram_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real):
     assert n_pad % tile == 0, f"n_pad={n_pad} not a multiple of {tile}"
     tiles = n_pad // tile
 
-    off = 1 if spec.has_const else 0
-    amp = (
-        jnp.exp(thetas[:, 0]) if spec.has_const else jnp.ones(B, thetas.dtype)
-    )
-    noise = (
-        jnp.exp(thetas[:, off + spec.n_ls])
-        if spec.has_white
-        else jnp.zeros(B, thetas.dtype)
-    )
-    inv_ls = jnp.exp(-thetas[:, off : off + spec.n_ls])
-    if spec.n_ls == 1:
-        inv_ls = jnp.broadcast_to(inv_ls, (B, d))
-    packed = jnp.concatenate(
-        [amp[:, None], noise[:, None], inv_ls], axis=1
-    ).astype(jnp.float32)[:, None, :]  # (B, 1, d+2)
-
+    packed = _pack_params(spec, thetas, B, d)
     n_real_arr = jnp.asarray(n_real, dtype=jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -215,22 +268,7 @@ def fused_masked_gram_lower_batch(spec: FusedSpec, thetas, X, alpha_diag, n_real
     assert n_pad % tile == 0, f"n_pad={n_pad} not a multiple of {tile}"
     tiles = n_pad // tile
 
-    off = 1 if spec.has_const else 0
-    amp = (
-        jnp.exp(thetas[:, 0]) if spec.has_const else jnp.ones(B, thetas.dtype)
-    )
-    noise = (
-        jnp.exp(thetas[:, off + spec.n_ls])
-        if spec.has_white
-        else jnp.zeros(B, thetas.dtype)
-    )
-    inv_ls = jnp.exp(-thetas[:, off : off + spec.n_ls])
-    if spec.n_ls == 1:
-        inv_ls = jnp.broadcast_to(inv_ls, (B, d))
-    packed = jnp.concatenate(
-        [amp[:, None], noise[:, None], inv_ls], axis=1
-    ).astype(jnp.float32)[:, None, :]  # (B, 1, d+2)
-
+    packed = _pack_params(spec, thetas, B, d)
     n_real_arr = jnp.asarray(n_real, dtype=jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -288,99 +326,32 @@ def _gram_tile_lower(spec, n_ref, params_ref, x_ref, y_ref, alpha_ref, out_ref):
 
     @pl.when(j <= i)
     def _compute():
-        row = params_ref[0, 0, :]
-        amp = row[0]
-        noise = row[1]
-        inv_ls = row[2:]
-
-        Xi = x_ref[0, :, :] * inv_ls[None, :]
-        Xj = y_ref[0, :, :] * inv_ls[None, :]
-        d2 = (
-            jnp.sum(Xi * Xi, axis=1)[:, None]
-            + jnp.sum(Xj * Xj, axis=1)[None, :]
-            - 2.0
-            * jax.lax.dot_general(
-                Xi,
-                Xj,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-        )
-        d2 = jnp.maximum(d2, 0.0)
-        if spec.nu == math.inf:
-            K = jnp.exp(-0.5 * d2)
-        else:
-            r = jnp.sqrt(d2 + 1e-36)
-            if spec.nu == 0.5:
-                K = jnp.exp(-r)
-            elif spec.nu == 1.5:
-                s = math.sqrt(3.0) * r
-                K = (1.0 + s) * jnp.exp(-s)
-            else:
-                s = math.sqrt(5.0) * r
-                K = (1.0 + s + s * s / 3.0) * jnp.exp(-s)
-        K = amp * K
-
-        n_real = n_ref[0]
         rows = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
         cols = j * C + jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
-        real = (rows < n_real) & (cols < n_real)
-        diag = rows == cols
-        alpha_rows = alpha_ref[:, 0]
-        K = jnp.where(real, K, 0.0)
-        diag_val = K + noise + alpha_rows[:, None]
-        K = jnp.where(diag & real, diag_val, K)
-        K = jnp.where(diag & ~real, 1.0, K)
-        out_ref[0, :, :] = K
+        out_ref[0, :, :] = _tile_values(
+            spec,
+            params_ref[0, 0, :],
+            x_ref[0, :, :],
+            y_ref[0, :, :],
+            alpha_ref[:, 0],
+            n_ref[0],
+            rows,
+            cols,
+        )
 
 
 def _gram_tile(spec, n_ref, params_ref, x_ref, y_ref, alpha_ref, out_ref):
     i = pl.program_id(1)
     T, C = out_ref.shape[1], out_ref.shape[2]  # strip rows x all cols
-
-    row = params_ref[0, 0, :]  # [amp, noise, inv_ls...]
-    amp = row[0]
-    noise = row[1]
-    inv_ls = row[2:]
-
-    Xi = x_ref[0, :, :] * inv_ls[None, :]
-    Xj = y_ref[0, :, :] * inv_ls[None, :]
-    d2 = (
-        jnp.sum(Xi * Xi, axis=1)[:, None]
-        + jnp.sum(Xj * Xj, axis=1)[None, :]
-        - 2.0
-        * jax.lax.dot_general(
-            Xi,
-            Xj,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-    )
-    d2 = jnp.maximum(d2, 0.0)
-    if spec.nu == math.inf:
-        K = jnp.exp(-0.5 * d2)
-    else:
-        r = jnp.sqrt(d2 + 1e-36)
-        if spec.nu == 0.5:
-            K = jnp.exp(-r)
-        elif spec.nu == 1.5:
-            s = math.sqrt(3.0) * r
-            K = (1.0 + s) * jnp.exp(-s)
-        else:
-            s = math.sqrt(5.0) * r
-            K = (1.0 + s + s * s / 3.0) * jnp.exp(-s)
-    K = amp * K
-
-    n_real = n_ref[0]
     rows = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
-    real = (rows < n_real) & (cols < n_real)
-    diag = rows == cols
-    alpha_rows = alpha_ref[:, 0]
-    K = jnp.where(real, K, 0.0)
-    diag_val = K + noise + alpha_rows[:, None]
-    K = jnp.where(diag & real, diag_val, K)
-    K = jnp.where(diag & ~real, 1.0, K)
-    out_ref[0, :, :] = K
+    out_ref[0, :, :] = _tile_values(
+        spec,
+        params_ref[0, 0, :],
+        x_ref[0, :, :],
+        y_ref[0, :, :],
+        alpha_ref[:, 0],
+        n_ref[0],
+        rows,
+        cols,
+    )

@@ -60,6 +60,12 @@ class Optimizer:
     ``gp_kwargs`` / ``gp_priors``, ``acq_func`` from
     :data:`ACQUISITION_FUNC` or a custom :class:`Acquisition`, and
     ``random_state``. Unknown kwargs are tolerated.
+
+    ``mesh``: optional single-axis ``jax.sharding.Mesh`` — every GP
+    refit shards the walker ensemble across it (data-parallel batched
+    LML; the stretch move's complementary-half gather is the only
+    collective). Results are bit-identical to the unsharded run; the
+    reference has no distributed execution at all (SURVEY.md §2).
     """
 
     def __init__(
@@ -74,6 +80,7 @@ class Optimizer:
         acq_func="pvrs",
         acq_func_kwargs: Optional[dict] = None,
         random_state=None,
+        mesh=None,
         **kwargs,
     ):
         if isinstance(random_state, np.random.RandomState):
@@ -110,6 +117,7 @@ class Optimizer:
             **gp_kwargs,
         )
         self.gp_priors = gp_priors
+        self.mesh = mesh
 
         self.Xi = []
         self.yi = []
@@ -339,6 +347,7 @@ class Optimizer:
                     n_desired_samples=gp_samples,
                     n_burnin=gp_burnin,
                     progress=progress,
+                    mesh=self.mesh,
                 )
                 if self.gp.pos_ is None or replace:
                     self.gp.fit(

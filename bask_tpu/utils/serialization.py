@@ -294,13 +294,29 @@ def save_optimizer(opt, path: str, pickle_unsupported: bool = False) -> None:
         if fn is opt.acq_func or type(fn) is type(opt.acq_func):
             acq_name = name
             break
-    if acq_name is None:
-        if pickle_unsupported:
-            pickle_arrays["pickle_acq"] = np.frombuffer(
-                pickle.dumps(opt.acq_func), dtype=np.uint8
+    def _try_pickle(obj, key, what):
+        """Embed ``obj`` as a pickle blob; on failure warn and degrade
+        (the checkpoint must never be lost to an unpicklable object)."""
+        try:
+            pickle_arrays[key] = np.frombuffer(
+                pickle.dumps(obj), dtype=np.uint8
             )
+            return True
+        except Exception as exc:
+            warnings.warn(
+                f"save_optimizer: {what} could not be pickled ({exc!r}); "
+                "saving the checkpoint without it — re-assign it after "
+                "load_optimizer.",
+                stacklevel=3,
+            )
+            return False
+
+    if acq_name is None:
+        if pickle_unsupported and _try_pickle(
+            opt.acq_func, "pickle_acq", "the custom acquisition function"
+        ):
             acq_name = "__pickled__"
-        else:
+        elif not pickle_unsupported:
             warnings.warn(
                 "save_optimizer: acquisition function "
                 f"{type(opt.acq_func).__name__!r} is not in ACQUISITION_FUNC "
@@ -312,9 +328,7 @@ def save_optimizer(opt, path: str, pickle_unsupported: bool = False) -> None:
             )
     if opt.gp_priors is not None:
         if pickle_unsupported:
-            pickle_arrays["pickle_priors"] = np.frombuffer(
-                pickle.dumps(opt.gp_priors), dtype=np.uint8
-            )
+            _try_pickle(opt.gp_priors, "pickle_priors", "gp_priors")
         else:
             warnings.warn(
                 "save_optimizer: gp_priors are callables and are not "

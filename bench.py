@@ -173,9 +173,10 @@ def bench_tpu():
     # the timed section). NB: this is a fixed-workload throughput
     # benchmark (the 100x300 shape is driver-defined) — the R-hat/ESS
     # below describe how far that fixed chain got, they are NOT a claim
-    # of convergence. At 300 steps the worst dimension typically sits
-    # near R-hat ~1.8; reaching R-hat < 1.1 on this problem needs a
-    # longer chain (see BASELINE.md "chain length to convergence").
+    # of convergence. Measured R-hat trajectory on this problem:
+    # 1.80@300 -> 1.30@2400 steps; R-hat < 1.1 needs roughly 8-15k
+    # steps (~1-2 min of chain time; BASELINE.md "chain length to
+    # convergence").
     from bask_tpu.utils.diagnostics import effective_sample_size, split_rhat
 
     steps = np.asarray(chain)[N_STEPS // 3:]

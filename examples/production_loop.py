@@ -73,10 +73,12 @@ def main():
         )
         iter_times.append(time.time() - ti)
     dt = time.time() - t0
+    # the 5th tell (index 4) finishes the init phase and runs the first
+    # gp.fit() with the one-off ML-II warm start
     print(
         f"30 iterations: {dt:.1f}s total  "
         f"(median warm iteration {np.median(iter_times[8:]):.3f}s; "
-        f"first fitted iteration {iter_times[5]:.2f}s incl. one-off "
+        f"first fitted iteration {iter_times[4]:.2f}s incl. one-off "
         f"ML-II warm start; zero mid-run compiles)  "
         f"best y={result.fun:.4f} at x={np.round(result.x, 3)}"
     )

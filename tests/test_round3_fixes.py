@@ -279,3 +279,30 @@ class TestCompoundKernel:
         ck2 = kernel_from_dict(kernel_to_dict(ck))
         np.testing.assert_array_equal(ck.theta0, ck2.theta0)
         assert ck2 == ck
+
+
+def test_save_optimizer_unpicklable_custom_degrades(tmp_path):
+    """pickle_unsupported=True with an UNpicklable custom must warn and
+    still write a usable checkpoint (never lose the observations/RNG)."""
+    from bask_tpu import Optimizer
+    from bask_tpu.utils.serialization import load_optimizer, save_optimizer
+
+    class LocalAcq(UncertaintyAcquisition):  # local class: unpicklable
+        def __call__(self, mu, std, *args, **kwargs):
+            return -mu
+
+    opt = Optimizer(
+        dimensions=[(-1.0, 1.0)],
+        acq_func=LocalAcq(),
+        gp_priors=[lambda x: 0.0 * x] * 3,  # lambdas: unpicklable
+        n_initial_points=2,
+        init_strategy="random",
+        random_state=0,
+    )
+    opt.tell([0.3], 0.1, fit=False)
+    path = str(tmp_path / "opt.npz")
+    with pytest.warns(UserWarning, match="could not be pickled"):
+        save_optimizer(opt, path, pickle_unsupported=True)
+    opt2 = load_optimizer(path, allow_pickle=True)
+    assert opt2.Xi == [[0.3]]
+    assert opt2.yi == [0.1]

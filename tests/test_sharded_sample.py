@@ -35,3 +35,49 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(gp_b.chain_, gp_a.chain_, rtol=1e-9)
     np.testing.assert_allclose(gp_b.pos_, gp_a.pos_, rtol=1e-9)
     np.testing.assert_allclose(gp_b.theta, gp_a.theta, rtol=1e-9)
+
+
+def _run_mesh_loop(mesh):
+    from bask_tpu import Optimizer
+
+    opt = Optimizer(
+        dimensions=[(-1.0, 1.0)],
+        n_points=50,
+        n_initial_points=3,
+        init_strategy="random",
+        acq_func="ei",
+        random_state=5,
+        mesh=mesh,
+    )
+    rng = np.random.RandomState(2)
+    nxs = []
+    for _ in range(5):
+        x = opt.ask()
+        opt.tell(
+            x, float(x[0] ** 2 + 0.01 * rng.randn()),
+            n_samples=4, gp_samples=64, gp_burnin=2,
+        )
+        if opt._next_x is not None:
+            nxs.append(np.asarray(opt._next_x, dtype=float))
+    return np.asarray(nxs), np.asarray(opt.gp.chain_)
+
+
+def test_optimizer_mesh_matches_unsharded_loop():
+    """Top-level API: Optimizer(mesh=...) shards every GP refit's walker
+    ensemble; on a mesh whose size divides the default 100-walker
+    ensemble (2 devices -> halves of 50 -> 25/device) the whole BO loop
+    is bit-identical to the unsharded run."""
+    nxs_plain, chain_plain = _run_mesh_loop(None)
+    nxs_mesh, chain_mesh = _run_mesh_loop(walker_mesh(2))
+    assert np.array_equal(chain_plain, chain_mesh)
+    assert np.array_equal(nxs_plain, nxs_mesh)
+
+
+def test_optimizer_mesh_rounds_walkers_to_devices():
+    """On a mesh that does NOT divide the default ensemble, the walker
+    count rounds up to 2*n_devices multiples (100 -> 112 on 8 devices)
+    and the loop still runs to completion."""
+    nxs, chain = _run_mesh_loop(walker_mesh(8))
+    assert chain.shape[0] % 112 == 0  # flat chain rows = kept_steps * 112
+    assert np.isfinite(chain).all()
+    assert len(nxs) == 3
