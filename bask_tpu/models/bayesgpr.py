@@ -262,40 +262,96 @@ def _run_chain_chunk(
     return chain, final
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def _lml_value_grad(theta, data, *, kernel):
-    """Value+grad of the LML for the ML-II warm start, packed into ONE
-    output vector [value, grad...] (one device->host fetch per L-BFGS
-    step — fetch latency, not compute, dominates the warm start on a
-    remote tunnel).
-
-    Always differentiates the plain XLA Cholesky path (never the
+def _neg_lml_plain(kernel, theta, data, inf_value=jnp.inf):
+    """Negative LML through the plain XLA Cholesky path (never the
     blocked-matmul fast path): XLA's cholesky has a compact, well-tested
     gradient, whereas reverse-mode through the Newton-Schulz blocks
-    compiles a very large graph for a one-off warm start.
-    """
+    compiles a very large graph for a one-off warm start. Shared by the
+    host-driven and on-device ML-II optimizers."""
     import math as _math
 
     from jax.scipy.linalg import solve_triangular as _st
 
     from ..ops.linalg import masked_cholesky, masked_gram
 
-    def f(t):
-        Kp = masked_gram(kernel, t, data.X, data.alpha_diag, data.mask)
-        L = masked_cholesky(Kp)
-        w = _st(L, data.y, lower=True)
-        n = jnp.sum(data.mask)
-        lml = (
-            -0.5 * jnp.dot(w, w)
-            - jnp.sum(
-                jnp.where(data.mask, jnp.log(jnp.diagonal(L)), 0.0)
-            )
-            - 0.5 * n * _math.log(2.0 * _math.pi)
-        )
-        return -jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+    Kp = masked_gram(kernel, theta, data.X, data.alpha_diag, data.mask)
+    L = masked_cholesky(Kp)
+    w = _st(L, data.y, lower=True)
+    n = jnp.sum(data.mask)
+    lml = (
+        -0.5 * jnp.dot(w, w)
+        - jnp.sum(jnp.where(data.mask, jnp.log(jnp.diagonal(L)), 0.0))
+        - 0.5 * n * _math.log(2.0 * _math.pi)
+    )
+    return jnp.where(jnp.isfinite(lml), -lml, inf_value)
 
-    v, g = jax.value_and_grad(f)(theta)
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _lml_value_grad(theta, data, *, kernel):
+    """Value+grad of the LML for the ML-II warm start, packed into ONE
+    output vector [value, grad...] (one device->host fetch per L-BFGS
+    step — fetch latency, not compute, dominates the warm start on a
+    remote tunnel)."""
+    v, g = jax.value_and_grad(
+        lambda t: _neg_lml_plain(kernel, t, data)
+    )(theta)
     return jnp.concatenate([v[None], g])
+
+
+@partial(jax.jit, static_argnames=("kernel", "maxiter"))
+def _ml2_device(theta0s, data, lb, ub, *, kernel, maxiter=60):
+    """The WHOLE ML-II warm start in one device program (opt-in via
+    ``BayesGPR(optimizer="lbfgs-device")``): projected L-BFGS (optax,
+    zoom linesearch) on the negative LML, vmapped over restarts, best
+    restart selected on device. No host round trips — the host-driven
+    scipy path costs one packed fetch per L-BFGS step (~40 x ~25 ms
+    through a remote tunnel), this costs one dispatch + one fetch.
+
+    Bounds are handled by a smooth sigmoid reparameterization
+    theta = lb + (ub-lb)*sigmoid(u) (a post-update clip-projection was
+    measured to stall against active bounds and lose ~1 nat of LML; the
+    transform matches scipy's L-BFGS-B optimum to ~10 digits on the test
+    problems). The ML estimate is only the chain seed anyway — the
+    reference treats it the same way (``bask/bayesgpr.py:78-79``).
+    """
+    import optax
+
+    width = ub - lb
+
+    def to_u(t):
+        p = jnp.clip((t - lb) / width, 1e-6, 1.0 - 1e-6)
+        return jnp.log(p) - jnp.log1p(-p)
+
+    def to_t(u):
+        return lb + width * jax.nn.sigmoid(u)
+
+    def obj(u):
+        # finite large value instead of inf: the zoom linesearch needs
+        # comparable values on failed factorizations
+        return _neg_lml_plain(kernel, to_t(u), data, inf_value=1e25)
+
+    opt = optax.lbfgs()
+    vg = optax.value_and_grad_from_state(obj)
+
+    def solve_one(t0):
+        u0 = to_u(t0)
+        state0 = opt.init(u0)
+
+        def step(carry, _):
+            params, state = carry
+            value, grad = vg(params, state=state)
+            updates, state = opt.update(
+                grad, state, params, value=value, grad=grad, value_fn=obj
+            )
+            return (optax.apply_updates(params, updates), state), None
+
+        (uf, _), _ = jax.lax.scan(
+            step, (u0, state0), None, length=maxiter
+        )
+        return to_t(uf), obj(uf)
+
+    tfs, vals = jax.vmap(solve_one)(theta0s)
+    return tfs[jnp.argmin(vals)]
 
 
 def _posterior_robust_body(theta, data, kernel):
@@ -774,18 +830,40 @@ class BayesGPR:
     # -- ML-II warm start --------------------------------------------------
 
     def _ml2_optimize(self):
-        """L-BFGS-B maximization of the LML (JAX gradients, host driver).
+        """L-BFGS(-B) maximization of the LML.
 
         Result is only the MCMC initial position, mirroring the
         reference's use of the inherited skopt fit
-        (``bask/bayesgpr.py:78-79``).
+        (``bask/bayesgpr.py:78-79``). Default ``optimizer="lbfgs"`` is
+        scipy's L-BFGS-B driving jitted value+grad evaluations (exact
+        bound handling, one packed device fetch per step);
+        ``optimizer="lbfgs-device"`` runs the whole optimization —
+        restarts included — inside ONE device program (see
+        :func:`_ml2_device`).
         """
-        from scipy.optimize import minimize
-
         kernel = self._spec
         data = self._data
         bounds = kernel.bounds
         dt = self._dtype()
+
+        if self.optimizer == "lbfgs-device":
+            starts = [kernel.theta0]
+            for _ in range(self.n_restarts_optimizer):
+                starts.append(
+                    self.random_state.uniform(bounds[:, 0], bounds[:, 1])
+                )
+            best = aot_call(
+                _ml2_device,
+                jnp.asarray(np.stack(starts), dtype=dt),
+                data,
+                jnp.asarray(bounds[:, 0], dtype=dt),
+                jnp.asarray(bounds[:, 1], dtype=dt),
+                kernel=kernel,
+                maxiter=60,
+            )
+            return np.asarray(best, dtype=float)
+
+        from scipy.optimize import minimize
 
         def obj(t):
             vg = np.asarray(

@@ -306,3 +306,95 @@ def test_save_optimizer_unpicklable_custom_degrades(tmp_path):
     opt2 = load_optimizer(path, allow_pickle=True)
     assert opt2.Xi == [[0.3]]
     assert opt2.yi == [0.1]
+
+
+class TestDeviceML2:
+    """Opt-in on-device ML-II warm start (optimizer="lbfgs-device"):
+    the whole projected-L-BFGS optimization runs in ONE device program."""
+
+    def _problem(self):
+        import jax.numpy as jnp
+
+        from bask_tpu.models import gp as gpc
+
+        rng = np.random.RandomState(0)
+        X = rng.uniform(size=(24, 2))
+        y = np.sin(4 * X[:, 0]) + 0.5 * X[:, 1] + 0.05 * rng.randn(24)
+        kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
+            (0.3, 0.3), (0.05, 2.0), nu=2.5
+        ) + bk.WhiteKernel(0.05, (1e-5, 1e1))
+        data = gpc.make_data(
+            jnp.asarray(X), jnp.asarray(y),
+            jnp.full(len(X), 1e-10), jnp.ones(len(X), bool),
+        )
+        return kernel, data
+
+    def test_matches_scipy_objective(self):
+        import jax.numpy as jnp
+        from scipy.optimize import minimize
+
+        from bask_tpu.models.bayesgpr import _ml2_device, _neg_lml_plain
+
+        kernel, data = self._problem()
+        b = kernel.bounds
+        dev_theta = np.asarray(
+            _ml2_device(
+                jnp.asarray(kernel.theta0)[None, :],
+                data,
+                jnp.asarray(b[:, 0]),
+                jnp.asarray(b[:, 1]),
+                kernel=kernel,
+                maxiter=60,
+            )
+        )
+        obj_dev = float(_neg_lml_plain(kernel, jnp.asarray(dev_theta), data))
+
+        def f(t):
+            return float(_neg_lml_plain(kernel, jnp.asarray(t), data))
+
+        host = minimize(
+            f, kernel.theta0, method="L-BFGS-B", bounds=b,
+            options={"maxiter": 60},
+        )
+        # same optimum quality (device may differ slightly via the
+        # clip-projection vs exact L-BFGS-B bound handling)
+        assert obj_dev <= host.fun + 1e-6 * abs(host.fun) + 1e-6
+        assert (dev_theta >= b[:, 0] - 1e-12).all()
+        assert (dev_theta <= b[:, 1] + 1e-12).all()
+
+    def test_end_to_end_fit_and_no_callbacks(self):
+        import jax
+        import jax.numpy as jnp
+
+        from bask_tpu.models.bayesgpr import _ml2_device
+
+        rng = np.random.RandomState(1)
+        X = rng.uniform(size=(10, 1))
+        y = np.sin(3 * X[:, 0])
+        gp = BayesGPR(
+            kernel=bk.ConstantKernel(1.0, (0.1, 2.0))
+            * bk.Matern(0.3, (0.05, 2.0), nu=2.5),
+            optimizer="lbfgs-device",
+            n_restarts_optimizer=2,
+            random_state=4,
+        )
+        gp.fit(
+            X, y, n_desired_samples=30, n_burnin=2,
+            n_walkers_per_thread=10, progress=False,
+        )
+        assert np.isfinite(gp.chain_).all()
+        assert np.isfinite(gp.log_marginal_likelihood_value_)
+        # the whole warm start lowers to pure XLA (tunnel-safe)
+        kernel, data = self._problem()
+        b = kernel.bounds
+        text = (
+            _ml2_device.lower(
+                jnp.asarray(kernel.theta0)[None, :],
+                data,
+                jnp.asarray(b[:, 0]),
+                jnp.asarray(b[:, 1]),
+                kernel=kernel,
+                maxiter=8,
+            ).as_text()
+        )
+        assert "callback" not in text.lower()
