@@ -46,10 +46,10 @@ from . import warping as wp
 
 __all__ = ["BayesGPR"]
 
-# Route the common sample() case (no add-chains, no progress bar, no
-# mesh) through the single fused device program `_fused_sample`. "off"
-# forces the legacy multi-dispatch path (used by the parity tests that
-# pin fused == unfused).
+# Route the common sample() case (no add-chains, no progress bar;
+# sharded ensembles included) through the single fused device program
+# `_fused_sample`. "off" forces the legacy multi-dispatch path (used by
+# the parity tests that pin fused == unfused).
 FUSED_SAMPLE = "on"
 
 
@@ -1064,15 +1064,17 @@ class BayesGPR:
 
         use_fused = (
             FUSED_SAMPLE == "on"
-            and mesh is None
             and not progress
             and not add
         )
         if use_fused:
             # ONE device program: chain -> median -> posterior -> LML
-            # (the warm-tell hot path; see _fused_sample). The add=True /
-            # progress / mesh cases keep the legacy multi-dispatch path
-            # (combined-chain medians, host ticks, sharded positions).
+            # (the warm-tell hot path; see _fused_sample). A sharded
+            # ensemble (mesh=) runs the same program — the walker axis
+            # shardings propagate through the scan and the blob concat
+            # gathers the host-bound outputs. The add=True / progress
+            # cases keep the legacy multi-dispatch path (combined-chain
+            # medians, host ticks).
             blob_dev, post, Xw = aot_call(
                 _fused_sample,
                 self._data,
