@@ -340,10 +340,20 @@ def _ml2_device(theta0s, data, lb, ub, *, kernel, maxiter=60):
         def step(carry, _):
             params, state = carry
             value, grad = vg(params, state=state)
+            # failed factorizations leak NaN through the cholesky
+            # backward pass even though the value is the finite 1e25
+            # sentinel — mirror the host driver's zero-gradient guard,
+            # and keep the last finite iterate if the linesearch state
+            # still produces a NaN step (0/0 slope)
+            grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
             updates, state = opt.update(
                 grad, state, params, value=value, grad=grad, value_fn=obj
             )
-            return (optax.apply_updates(params, updates), state), None
+            new_params = optax.apply_updates(params, updates)
+            new_params = jnp.where(
+                jnp.isfinite(new_params), new_params, params
+            )
+            return (new_params, state), None
 
         (uf, _), _ = jax.lax.scan(
             step, (u0, state0), None, length=maxiter
@@ -846,22 +856,38 @@ class BayesGPR:
         bounds = kernel.bounds
         dt = self._dtype()
 
-        if self.optimizer == "lbfgs-device":
-            starts = [kernel.theta0]
-            for _ in range(self.n_restarts_optimizer):
-                starts.append(
-                    self.random_state.uniform(bounds[:, 0], bounds[:, 1])
-                )
-            best = aot_call(
-                _ml2_device,
-                jnp.asarray(np.stack(starts), dtype=dt),
-                data,
-                jnp.asarray(bounds[:, 0], dtype=dt),
-                jnp.asarray(bounds[:, 1], dtype=dt),
-                kernel=kernel,
-                maxiter=60,
+        starts = [kernel.theta0]
+        for _ in range(self.n_restarts_optimizer):
+            starts.append(
+                self.random_state.uniform(bounds[:, 0], bounds[:, 1])
             )
-            return np.asarray(best, dtype=float)
+
+        if self.optimizer == "lbfgs-device":
+            ok_bounds = bool(
+                np.isfinite(bounds).all()
+                and (bounds[:, 1] > bounds[:, 0]).all()
+            )
+            if not ok_bounds:
+                # the sigmoid reparameterization needs finite, non-
+                # degenerate bounds; scipy's L-BFGS-B handles both, so
+                # fall back loudly rather than optimize garbage
+                warnings.warn(
+                    "optimizer='lbfgs-device' requires finite, non-"
+                    "degenerate hyperparameter bounds; falling back to "
+                    "the host L-BFGS-B driver for this fit.",
+                    UserWarning,
+                )
+            else:
+                best = aot_call(
+                    _ml2_device,
+                    jnp.asarray(np.stack(starts), dtype=dt),
+                    data,
+                    jnp.asarray(bounds[:, 0], dtype=dt),
+                    jnp.asarray(bounds[:, 1], dtype=dt),
+                    kernel=kernel,
+                    maxiter=60,
+                )
+                return np.asarray(best, dtype=float)
 
         from scipy.optimize import minimize
 
@@ -880,11 +906,6 @@ class BayesGPR:
                 return 1e25, np.zeros_like(g)
             return v, g
 
-        starts = [kernel.theta0]
-        for _ in range(self.n_restarts_optimizer):
-            starts.append(
-                self.random_state.uniform(bounds[:, 0], bounds[:, 1])
-            )
         best_t, best_v = None, np.inf
         for t0 in starts:
             # The ML-II optimum is only the chain's starting point

@@ -357,7 +357,7 @@ class TestDeviceML2:
             options={"maxiter": 60},
         )
         # same optimum quality (device may differ slightly via the
-        # clip-projection vs exact L-BFGS-B bound handling)
+        # sigmoid bound reparameterization vs exact L-BFGS-B handling)
         assert obj_dev <= host.fun + 1e-6 * abs(host.fun) + 1e-6
         assert (dev_theta >= b[:, 0] - 1e-12).all()
         assert (dev_theta <= b[:, 1] + 1e-12).all()
@@ -398,3 +398,54 @@ class TestDeviceML2:
             ).as_text()
         )
         assert "callback" not in text.lower()
+
+    def test_degenerate_start_recovers(self):
+        """A start whose factorization fails must not poison the
+        L-BFGS scan with NaNs (grad zeroing + last-finite-iterate
+        guard); the returned theta stays finite."""
+        import jax.numpy as jnp
+
+        from bask_tpu.models import gp as gpc
+        from bask_tpu.models.bayesgpr import _ml2_device
+
+        # duplicate rows + zero jitter: non-PD gram at most thetas
+        X = np.zeros((6, 1))
+        y = np.ones(6)
+        kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
+            0.3, (0.05, 2.0)
+        )
+        data = gpc.make_data(
+            jnp.asarray(X), jnp.asarray(y), jnp.zeros(6),
+            jnp.ones(6, bool),
+        )
+        b = kernel.bounds
+        out = np.asarray(
+            _ml2_device(
+                jnp.asarray(kernel.theta0)[None, :],
+                data,
+                jnp.asarray(b[:, 0]),
+                jnp.asarray(b[:, 1]),
+                kernel=kernel,
+                maxiter=10,
+            )
+        )
+        assert np.isfinite(out).all()
+        assert (out >= b[:, 0] - 1e-12).all() and (out <= b[:, 1] + 1e-12).all()
+
+    def test_nonfinite_bounds_fall_back_to_host(self):
+        """Infinite bounds are fine for scipy L-BFGS-B but break the
+        sigmoid transform: the device opt-in must warn and fall back."""
+        rng = np.random.RandomState(0)
+        X = rng.uniform(size=(8, 1))
+        y = np.sin(3 * X[:, 0])
+        gp = BayesGPR(
+            kernel=bk.ConstantKernel(1.0, (0.1, 2.0))
+            * bk.RBF(0.3, (1e-5, np.inf)),
+            optimizer="lbfgs-device",
+            random_state=3,
+        )
+        gp._spec = gp._user_kernel + bk.WhiteKernel(1.0, (1e-5, 1e5))
+        gp._set_data(X, y, None)
+        with pytest.warns(UserWarning, match="finite"):
+            theta = gp._ml2_optimize()
+        assert np.isfinite(theta).all()
