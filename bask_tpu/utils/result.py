@@ -74,12 +74,31 @@ def expected_minimum(
     # All restarts descend in parallel on device (one fused program)
     # instead of one scipy L-BFGS per start (each iteration of which is
     # a host-device round trip); a single scipy polish finishes from the
-    # best basin.
+    # best basin with ONE packed [value, grad] fetch per step.
     u_best, v_best = _batched_descent(gp, starts)
 
+    import jax.numpy as jnp
+
+    from ..utils.aot import aot_call
+
+    dt = gp._dtype()
+    wa, wb, n_warp = gp._warp_params()
+
     def f(u):
-        mu, grad = gp.predict(u[None, :], return_mean_grad=True)
-        return float(mu[0]), np.asarray(grad[0], dtype=float)
+        vg = np.asarray(
+            aot_call(
+                _mean_value_grad,
+                jnp.asarray(u, dtype=dt),
+                gp._post,
+                gp._post_data,
+                wa,
+                wb,
+                kernel=gp._spec,
+                n_warp=n_warp,
+            ),
+            dtype=float,
+        )
+        return float(vg[0]), vg[1:]
 
     r = minimize(
         f, u_best, jac=True, method="L-BFGS-B",
@@ -91,50 +110,94 @@ def expected_minimum(
     return x, float(v_best)
 
 
-def _batched_descent(gp, starts, n_steps: int = 120, lr: float = 0.03):
-    """Vmapped projected-Adam descent of the GP mean over all starts."""
-    import jax
-    import jax.numpy as jnp
-
+def _make_mean_one(kernel, n_warp, post, data, wa, wb):
     from ..models import gp as gpc
     from ..models import warping as wpm
 
-    kernel = gp._spec
-    post = gp._post
-    data = gp._post_data
+    def mean_one(u):
+        uq = u[None, :]
+        if n_warp:
+            uq = wpm.warp(uq, wa, wb)
+        return gpc.predict_mean(kernel, post.theta, post, data, uq)[0]
+
+    return mean_one
+
+
+def _jitted(fn):
+    from functools import partial
+
+    import jax
+
+    return partial(jax.jit, static_argnames=("kernel", "n_warp"))(fn)
+
+
+@_jitted
+def _mean_value_grad(u, post, data, wa, wb, *, kernel, n_warp):
+    """GP posterior mean + gradient, packed into one [value, grad...]
+    vector (one fetch per polish step; fetch latency dominates on a
+    remote tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    mean_one = _make_mean_one(kernel, n_warp, post, data, wa, wb)
+    v, g = jax.value_and_grad(mean_one)(u)
+    return jnp.concatenate([v[None], g])
+
+
+@_jitted
+def _batched_descent_prog(U, post, data, wa, wb, *, kernel, n_warp):
+    """Vmapped projected-Adam descent of the GP mean over all starts.
+
+    Module-level jit (static kernel/n_warp): the compiled program is
+    reused across expected_minimum calls — the previous per-call closure
+    recompiled the whole descent every diagnostics invocation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_steps, lr = 120, 0.03
+    mean_one = _make_mean_one(kernel, n_warp, post, data, wa, wb)
+
+    def descend(u0):
+        def step(carry, _):
+            u, m, v, t = carry
+            g = jax.grad(mean_one)(u)
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            u = u - lr * (m / (1 - 0.9**t)) / (
+                jnp.sqrt(v / (1 - 0.999**t)) + 1e-8
+            )
+            u = jnp.clip(u, 0.0, 1.0)
+            return (u, m, v, t + 1.0), None
+
+        (u, _, _, _), _ = jax.lax.scan(
+            step,
+            (u0, jnp.zeros_like(u0), jnp.zeros_like(u0), 1.0),
+            None,
+            length=n_steps,
+        )
+        return u, mean_one(u)
+
+    return jax.vmap(descend)(U)
+
+
+def _batched_descent(gp, starts):
+    import jax.numpy as jnp
+
+    from ..utils.aot import aot_call
+
     dt = gp._dtype()
     wa, wb, n_warp = gp._warp_params()
-
-    @jax.jit
-    def run(U):
-        def mean_one(u):
-            uq = u[None, :]
-            if n_warp:
-                uq = wpm.warp(uq, wa, wb)
-            return gpc.predict_mean(kernel, post.theta, post, data, uq)[0]
-
-        def descend(u0):
-            def step(carry, _):
-                u, m, v, t = carry
-                g = jax.grad(mean_one)(u)
-                m = 0.9 * m + 0.1 * g
-                v = 0.999 * v + 0.001 * g * g
-                u = u - lr * (m / (1 - 0.9**t)) / (
-                    jnp.sqrt(v / (1 - 0.999**t)) + 1e-8
-                )
-                u = jnp.clip(u, 0.0, 1.0)
-                return (u, m, v, t + 1.0), None
-
-            (u, _, _, _), _ = jax.lax.scan(
-                step,
-                (u0, jnp.zeros_like(u0), jnp.zeros_like(u0), 1.0),
-                None,
-                length=n_steps,
-            )
-            return u, mean_one(u)
-
-        return jax.vmap(descend)(U)
-
-    U, V = run(jnp.asarray(starts, dtype=dt))
-    i = int(np.argmin(np.asarray(V)))
+    U, V = aot_call(
+        _batched_descent_prog,
+        jnp.asarray(starts, dtype=dt),
+        gp._post,
+        gp._post_data,
+        wa,
+        wb,
+        kernel=gp._spec,
+        n_warp=n_warp,
+    )
+    V = np.asarray(V)
+    i = int(np.argmin(V))
     return np.asarray(U[i], dtype=float), float(V[i])
