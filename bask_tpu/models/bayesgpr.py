@@ -390,25 +390,33 @@ def _lml_value(theta, data, *, kernel):
     return gpc.log_marginal_likelihood(kernel, theta, data)
 
 
-def _consensus_body(kernel, n_warp, theta, la, lb, data):
-    """Warp -> robust factorization -> LML, the consensus-model refresh.
+def _consensus_body(kernel, n_warp, theta, la, lb, data, with_lml=True):
+    """Warp -> robust factorization -> (optional) LML: the
+    consensus-model refresh.
 
     Shared verbatim by the standalone `_consensus_state` program and the
     fused sample program (whose median feeds it through an optimization
     barrier), so both paths compile the identical subgraph on
     materialized inputs — the fused == unfused bit-parity contract.
-    Returns (posterior, lml, warped X).
+    ``with_lml=False`` skips the LML term for refresh paths that discard
+    it (X_train_ setter, rewarp) — on the f32 fast path the LML's
+    blocked factorization is NOT shared with the jitter ladder's XLA
+    cholesky, so skipping it saves a real factorization at large n.
+    Returns (posterior, lml-or-0, warped X).
     """
     if n_warp:
         data = data._replace(X=wp.warp(data.X, la, lb))
     post = _posterior_robust_body(theta, data, kernel)
-    lml = gpc.log_marginal_likelihood(kernel, theta, data)
+    if with_lml:
+        lml = gpc.log_marginal_likelihood(kernel, theta, data)
+    else:
+        lml = jnp.zeros((), dtype=data.y.dtype)
     return post, lml, data.X
 
 
-@partial(jax.jit, static_argnames=("kernel", "n_warp"))
-def _consensus_state(theta, la, lb, data, *, kernel, n_warp):
-    return _consensus_body(kernel, n_warp, theta, la, lb, data)
+@partial(jax.jit, static_argnames=("kernel", "n_warp", "with_lml"))
+def _consensus_state(theta, la, lb, data, *, kernel, n_warp, with_lml=True):
+    return _consensus_body(kernel, n_warp, theta, la, lb, data, with_lml)
 
 
 @partial(
@@ -705,7 +713,7 @@ class BayesGPR:
         self._X_orig = np.copy(X_train) if self.copy_X_train else X_train
         if self._y_orig is not None:
             self._upload()
-            self._refresh_posterior()
+            self._refresh_posterior(with_lml=False)
 
     @property
     def y_train_(self):
@@ -812,7 +820,7 @@ class BayesGPR:
             y_std=self.y_train_std_,
         )
 
-    def _refresh_posterior(self):
+    def _refresh_posterior(self, with_lml: bool = True):
         if self._theta is None or self._data is None:
             return
         data = self._data
@@ -832,10 +840,11 @@ class BayesGPR:
             data,
             kernel=self._spec,
             n_warp=n_warp,
+            with_lml=with_lml,
         )
         self._post = post
         self._post_data = data._replace(X=Xw)
-        self._consensus_lml_ = lml
+        self._consensus_lml_ = lml if with_lml else None
 
     # -- ML-II warm start --------------------------------------------------
 
@@ -1065,7 +1074,14 @@ class BayesGPR:
             theta = np.copy(self._theta)
             bad = ~np.isfinite(theta)
             if bad.any():
-                fill = math.log(self.noise_) if self.noise_ else -10.0
+                # NB: noise_ must be finite AND positive to be a usable
+                # fill (NaN is truthy; log would poison the ensemble)
+                usable = (
+                    self.noise_
+                    and np.isfinite(self.noise_)
+                    and self.noise_ > 0
+                )
+                fill = math.log(self.noise_) if usable else -10.0
                 theta[bad] = fill
             if n_warp:
                 theta = np.concatenate([theta, np.zeros(2 * n_warp)])
@@ -1110,25 +1126,29 @@ class BayesGPR:
                 discard=n_burnin,
                 thin=n_thin,
             )
-            # ONE fetch for everything host-bound (see _fused_sample)
+            # ONE fetch for everything host-bound (see _fused_sample).
+            # Slice with the ACTUAL ensemble shape: a user-supplied
+            # position= may carry a different walker count than the
+            # configured n_walkers (e.g. resuming a saved ensemble)
+            w_act, d_act = pos_dev.shape
             blob = np.asarray(blob_dev)
             n_kept = len(range(n_burnin + n_thin - 1, n_steps, n_thin))
-            sz_chain = n_kept * n_walkers * n_dim
-            sz_pos = n_walkers * n_dim
-            kept_steps = blob[:sz_chain].reshape(n_kept, n_walkers, n_dim)
+            sz_chain = n_kept * w_act * d_act
+            sz_pos = w_act * d_act
+            kept_steps = blob[:sz_chain].reshape(n_kept, w_act, d_act)
             self.chain_steps_ = kept_steps
             self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
             self.pos_ = blob[sz_chain : sz_chain + sz_pos].reshape(
-                n_walkers, n_dim
+                w_act, d_act
             )
-            median = blob[sz_chain + sz_pos : sz_chain + sz_pos + n_dim]
+            median = blob[sz_chain + sz_pos : sz_chain + sz_pos + d_act]
             accepted = int(round(float(blob[-3]))) * 4096 + int(
                 round(float(blob[-2]))
             )
             lml = float(blob[-1])
             _maybe_warn_rhat(kept_steps, warn_rhat)
             self.n_accepted_ = accepted
-            self.n_proposals_ = n_steps * n_walkers
+            self.n_proposals_ = n_steps * w_act
             if self.warp_inputs:
                 self.warp_alphas_ = median[n_gp_dim : n_gp_dim + n_warp]
                 self.warp_betas_ = median[n_gp_dim + n_warp :]
@@ -1229,16 +1249,19 @@ class BayesGPR:
             self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
         self.pos_ = np.asarray(final.pos)
         _maybe_warn_rhat(self.chain_steps_, warn_rhat)
+        # the ACTUAL walker count can differ from the configured one when
+        # the caller supplied position= (e.g. resuming a saved ensemble)
+        w_act = self.chain_steps_.shape[1]
         if homogeneous_add and getattr(self, "n_proposals_", 0):
             # accumulate across homogeneous add=True runs so diagnostics'
             # acceptance describes the same combined chain as
             # chain_steps_; when the walker count changed, chain_steps_
             # keeps only the latest run, so the counters reset with it
             self.n_accepted_ += int(final.accepted)
-            self.n_proposals_ += n_steps * n_walkers
+            self.n_proposals_ += n_steps * w_act
         else:
             self.n_accepted_ = int(final.accepted)
-            self.n_proposals_ = n_steps * n_walkers
+            self.n_proposals_ = n_steps * w_act
 
         median = np.asarray(geometric_median(flat))
         if self.warp_inputs:
@@ -1732,7 +1755,7 @@ class BayesGPR:
         changed (reference ``bask/bayesgpr.py:284-296``); refreshes the
         factorized posterior when a consensus theta exists."""
         if self.warp_inputs and self.warp_alphas_ is not None:
-            self._refresh_posterior()
+            self._refresh_posterior(with_lml=False)
 
     @property
     def warpers_(self):

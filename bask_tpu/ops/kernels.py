@@ -64,10 +64,12 @@ Bounds = Union[str, Tuple[float, float]]
 
 # z below this is the r -> 0 limit: z**nu underflows while K_nu(z)
 # overflows, so the product must be replaced by its analytic limit
-# (K(0)=1, dK/dr(0)=0 for nu>1/2). Evaluated in float64 regardless of
-# the input dtype — f32 inputs otherwise hit 0*inf = NaN at the
-# epsilon-floored gram diagonal (Matern.eval adds 1e-36 under sqrt).
-# The evaluation itself happens fully in log space,
+# (K(0)=1, dK/dr(0)=0 for nu>1/2). The on-device path accumulates in
+# float64 when x64 is enabled (the CPU parity config); on f32-only
+# backends it runs at f32 accuracy (~1e-6 relative) — see
+# _matern_general_compute_dtype. Either way the epsilon-floored gram
+# diagonal (Matern.eval adds 1e-36 under sqrt) cannot hit 0*inf = NaN:
+# the evaluation happens fully in log space,
 # exp(nu*log z + log(kve(nu, z)) - z), so z**nu underflow (which hits
 # z < 10**(-308/nu) — well above this threshold for nu > ~38) cannot
 # produce 0*inf for ANY nu; the only remaining non-finite source is

@@ -58,6 +58,10 @@ def warmup_optimizer(
         acq_func=opt.acq_func,
         acq_func_kwargs=opt.acq_func_kwargs,
         random_state=rng_seed,
+        # a mesh changes the compiled programs (sharded inputs + the
+        # walker count rounds to 2*n_devices multiples) — the clone must
+        # warm the SAME programs the real loop will run
+        mesh=getattr(opt, "mesh", None),
     )
     rng = np.random.RandomState(rng_seed)
     d = opt.space.transformed_n_dims

@@ -151,3 +151,38 @@ def test_custom_acquisition_falls_back(fused_switch):
         np.zeros((3, 1)), gpr=None, acq=MyFullGP(), n_samples=0
     )
     assert out is None
+
+
+def test_fused_sample_custom_position_walker_count(fused_switch):
+    """A user-supplied position= with a non-default walker count must
+    unpack correctly through the fused blob (regression: the slicing
+    used the configured count, silently corrupting chain_/pos_/theta)."""
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(8, 1))
+    y = np.sin(3 * X[:, 0])
+
+    def run(fused):
+        bg.FUSED_SAMPLE = "on" if fused else "off"
+        gp = bg.BayesGPR(
+            kernel=bk.ConstantKernel(1.0, (0.1, 2.0))
+            * bk.Matern(0.3, (0.05, 2.0), nu=2.5),
+            random_state=9,
+        )
+        gp.fit(
+            X, y, n_desired_samples=20, n_burnin=2,
+            n_walkers_per_thread=10, progress=False,
+        )
+        # resume with DOUBLE the configured walker count
+        pos = np.concatenate([gp.pos_, gp.pos_ + 1e-3])
+        gp.sample(
+            n_desired_samples=20, n_burnin=1, n_walkers_per_thread=10,
+            position=pos,
+        )
+        return gp
+
+    g1, g2 = run(True), run(False)
+    assert g1.pos_.shape == (20, 3)
+    assert np.array_equal(g1.chain_, g2.chain_)
+    assert np.array_equal(g1.pos_, g2.pos_)
+    assert np.array_equal(g1.theta, g2.theta)
+    assert g1.n_proposals_ == g2.n_proposals_ == 3 * 20  # steps * actual W
