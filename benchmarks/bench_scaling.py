@@ -49,10 +49,14 @@ def main():
         * (1.0 + 0.01 * rng.rand(W))[:, None, None],
         dtype=jnp.float32,
     )
-    eye = jnp.eye(N, dtype=jnp.float32)
 
     @jax.jit
     def bench(A):
+        # eye must be built INSIDE the jit: a closed-over host constant
+        # of N^2 floats is embedded in the compile payload and blows the
+        # remote tunnel's request-size limit (HTTP 413) at N=8192
+        eye = jnp.eye(N, dtype=jnp.float32)
+
         def body(c, i):
             L = fact(A + (1e-5 * (i + 1.0)) * eye)
             return c + L[0, 0, 0] + L[-1, -1, -1], None
