@@ -458,6 +458,7 @@ def evaluate_acquisitions_fused(
     acq,
     n_samples: int = 10,
     random_state=None,
+    _defer=False,
     **kwargs,
 ):
     """Fused single-acquisition tell pass (VERDICT r2 #1).
@@ -469,6 +470,15 @@ def evaluate_acquisitions_fused(
     are bit-identical to the legacy multi-dispatch path. Returns a
     (1, n_candidates) array, or ``None`` when this acquisition/config is
     not fusable (caller falls back to the legacy dispatcher).
+
+    ``_defer=True`` (the warm-tell overlap path): instead of fetching
+    the values, return ``(vals_dev, shape, postprocess)`` — the device
+    output, its host shape, and the finite-filter/averaging closure.
+    The caller packs ``vals_dev`` onto the deferred sample blob
+    (``BayesGPR._finalize_sample``) so the whole tell crosses
+    device->host in one fetch, then applies ``postprocess`` to the
+    unpacked host values. Device inputs (consensus theta, chain rows)
+    come from the pending sample's device handles — no host round-trip.
     """
     if FUSED_ACQUISITION != "on":
         return None
@@ -490,23 +500,27 @@ def evaluate_acquisitions_fused(
             return None  # custom FullGP acquisition: legacy path
         dt = gpr._dtype()
         Xw = jnp.asarray(gpr.warp(X), dtype=dt)
-        vals = np.asarray(
-            aot_call(
-                _fused_fullgp_vals,
-                jnp.asarray(gpr._theta, dtype=dt),
-                gpr._post,
-                gpr._post_data,
-                Xw,
-                jax.random.PRNGKey(seed),
-                kernel=gpr._spec,
-                n_thompson=int(n_thompson),
-                white_idx=gpr.white_index_,
-                with_thompson=with_thompson,
-            )
+        vals_dev = aot_call(
+            _fused_fullgp_vals,
+            gpr._theta_device(dt),
+            gpr._post,
+            gpr._post_data,
+            Xw,
+            jax.random.PRNGKey(seed),
+            kernel=gpr._spec,
+            n_thompson=int(n_thompson),
+            white_idx=gpr.white_index_,
+            with_thompson=with_thompson,
         )
-        if np.all(np.isfinite(vals)):
-            out[0] = vals
-        return out
+
+        def post_fullgp(vals):
+            if np.all(np.isfinite(vals)):
+                out[0] = vals
+            return out
+
+        if _defer:
+            return vals_dev, (X.shape[0],), post_fullgp
+        return post_fullgp(np.asarray(vals_dev))
 
     if not isinstance(acq, (UncertaintyAcquisition, SampleAcquisition)):
         return None
@@ -519,33 +533,37 @@ def evaluate_acquisitions_fused(
         return None  # unhashable kwargs: legacy eager fallback path
 
     dt = gpr._dtype()
-    idx = rs.choice(len(gpr.chain_), replace=False, size=n_samples)
-    rows = jnp.asarray(gpr.chain_[idx], dtype=dt)
+    idx = rs.choice(gpr._n_chain_rows(), replace=False, size=n_samples)
+    rows = gpr._chain_rows_device(idx, dt)
     n_warp = gpr._X_orig.shape[1] if gpr.warp_inputs else 0
     key = jax.random.PRNGKey(rs.randint(0, 2**31 - 1))
     acq_keys = jax.random.split(
         jax.random.PRNGKey(rs.randint(0, 2**31 - 1)), n_samples
     )
-    vals = np.asarray(
-        aot_call(
-            _fused_marginal_vals,
-            rows,
-            gpr._data,
-            jnp.asarray(X, dtype=dt),
-            key,
-            acq_keys,
-            kernel=gpr._spec,
-            n_warp=n_warp,
-            white_idx=gpr.white_index_,
-            need_sample=isinstance(acq, SampleAcquisition),
-            acq=acq,
-            kwargs_tuple=kwargs_tuple,
-        )
+    vals_dev = aot_call(
+        _fused_marginal_vals,
+        rows,
+        gpr._data,
+        jnp.asarray(X, dtype=dt),
+        key,
+        acq_keys,
+        kernel=gpr._spec,
+        n_warp=n_warp,
+        white_idx=gpr.white_index_,
+        need_sample=isinstance(acq, SampleAcquisition),
+        acq=acq,
+        kwargs_tuple=kwargs_tuple,
     )
-    finite = np.all(np.isfinite(vals), axis=1)
-    if finite.any():
-        out[0] += vals[finite].sum(axis=0) / n_samples
-    return out
+
+    def post_marginal(vals):
+        finite = np.all(np.isfinite(vals), axis=1)
+        if finite.any():
+            out[0] += vals[finite].sum(axis=0) / n_samples
+        return out
+
+    if _defer:
+        return vals_dev, (n_samples, X.shape[0]), post_marginal
+    return post_marginal(np.asarray(vals_dev))
 
 
 @partial(jax.jit, static_argnames=("acq", "kwargs_tuple"))

@@ -483,6 +483,25 @@ def _fused_sample(
     return blob, post, Xw
 
 
+def _fetch(x):
+    """Single device->host fetch point for the fused-sample blob.
+
+    Kept as a module-level helper so tests can count fetches: on the
+    remote tunnel each device->host transfer costs ~24 ms round-trip
+    regardless of size, so the warm-tell budget is measured in fetches,
+    not bytes.
+    """
+    return np.asarray(x)
+
+
+@jax.jit
+def _pack_fetch(blob, extra):
+    """Append a second program's host-bound output to the sample blob so
+    the whole warm tell crosses device->host in ONE fetch (the deferred
+    overlap path; see ``BayesGPR.sample(_defer_fetch=True)``)."""
+    return jnp.concatenate([blob, extra.astype(blob.dtype).ravel()])
+
+
 @partial(jax.jit, static_argnames=("kernel", "n_samples"))
 def _sample_y_mean(theta_diag, post, data, Xq, key, *, kernel, n_samples):
     """Jitted consensus-GP joint draws (one dispatch; also the exact
@@ -616,6 +635,10 @@ class BayesGPR:
     with host-callback support).
     """
 
+    # class-level default so instances restored from old pickles (which
+    # bypass __init__) still read as "no deferred sample pending"
+    _pending = None
+
     def __init__(
         self,
         kernel: Optional[bk.Kernel] = None,
@@ -662,6 +685,7 @@ class BayesGPR:
         self._noise_vector: Optional[np.ndarray] = None
         self._noise_zero = False
         self._priors_cache = None
+        self._pending = None  # deferred fused-sample blob (device)
 
     # -- basic properties --------------------------------------------------
 
@@ -1009,6 +1033,7 @@ class BayesGPR:
         add: bool = False,
         mesh=None,
         warn_rhat: Optional[float] = None,
+        _defer_fetch: bool = False,
         **kwargs,
     ):
         """Sample the kernel-hyperparameter posterior on device.
@@ -1031,6 +1056,10 @@ class BayesGPR:
         usually usable well before strict convergence, hence a warning
         rather than an error.
         """
+        if self._pending is not None:
+            # a previous deferred sample was never finalized (misuse or
+            # an aborted tell) — materialize it before starting a new one
+            self._finalize_sample()
         if (X is None and self._X_orig is None) or self._spec is None:
             raise ValueError(
                 "No data to sample from: pass X and y or call fit first."
@@ -1126,43 +1155,41 @@ class BayesGPR:
                 discard=n_burnin,
                 thin=n_thin,
             )
-            # ONE fetch for everything host-bound (see _fused_sample).
             # Slice with the ACTUAL ensemble shape: a user-supplied
             # position= may carry a different walker count than the
             # configured n_walkers (e.g. resuming a saved ensemble)
             w_act, d_act = pos_dev.shape
-            blob = np.asarray(blob_dev)
             n_kept = len(range(n_burnin + n_thin - 1, n_steps, n_thin))
-            sz_chain = n_kept * w_act * d_act
-            sz_pos = w_act * d_act
-            kept_steps = blob[:sz_chain].reshape(n_kept, w_act, d_act)
-            self.chain_steps_ = kept_steps
-            self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
-            self.pos_ = blob[sz_chain : sz_chain + sz_pos].reshape(
-                w_act, d_act
-            )
-            median = blob[sz_chain + sz_pos : sz_chain + sz_pos + d_act]
-            accepted = int(round(float(blob[-3]))) * 4096 + int(
-                round(float(blob[-2]))
-            )
-            lml = float(blob[-1])
-            _maybe_warn_rhat(kept_steps, warn_rhat)
-            self.n_accepted_ = accepted
-            self.n_proposals_ = n_steps * w_act
-            if self.warp_inputs:
-                self.warp_alphas_ = median[n_gp_dim : n_gp_dim + n_warp]
-                self.warp_betas_ = median[n_gp_dim + n_warp :]
-            theta_med = median[:n_gp_dim]
-            widx = self.white_index_
-            if widx is not None:
-                self.noise_ = float(np.exp(theta_med[widx]))
+            meta = (n_kept, w_act, d_act, n_steps, n_gp_dim, n_warp)
             # the program already factorized the consensus posterior —
             # install it without the setter's extra dispatch
-            self._theta = np.asarray(theta_med, dtype=float)
             self._post = post
             self._post_data = self._data._replace(X=Xw)
-            self._consensus_lml_ = lml
-            self.log_marginal_likelihood_value_ = lml
+            if _defer_fetch and not self.warp_inputs and warn_rhat is None:
+                # Overlap path: keep the blob ON DEVICE so the caller can
+                # dispatch the acquisition program against the
+                # device-resident consensus outputs (theta/posterior/
+                # chain) and cross device->host in ONE packed fetch
+                # (`_finalize_sample`). Host attributes (chain_, pos_,
+                # theta, noise_, acceptance, LML) are STALE until
+                # finalize — the window is confined to Optimizer.tell,
+                # which always finalizes before returning. Warped models
+                # are excluded: the candidate grid needs the new warp
+                # parameters on the host, which would force a fetch
+                # anyway.
+                sz_chain = n_kept * w_act * d_act
+                off = sz_chain + w_act * d_act
+                self._pending = {
+                    "blob": blob_dev,
+                    "meta": meta,
+                    "theta_dev": blob_dev[off : off + n_gp_dim],
+                    "chain_dev": blob_dev[:sz_chain].reshape(
+                        n_kept * w_act, d_act
+                    ),
+                }
+                return self
+            # ONE fetch for everything host-bound (see _fused_sample).
+            self._install_from_blob(_fetch(blob_dev), meta, warn_rhat)
             return self
 
         if progress:
@@ -1275,6 +1302,93 @@ class BayesGPR:
         # evaluates the consensus LML in the same program
         self.log_marginal_likelihood_value_ = float(self._consensus_lml_)
         return self
+
+    # -- deferred-fetch plumbing (warm-tell overlap) -----------------------
+
+    def _install_from_blob(self, blob, meta, warn_rhat=None):
+        """Unpack the fused-sample blob (host numpy) into estimator state.
+
+        Shared by the immediate fused path and ``_finalize_sample`` so
+        the deferred (single combined fetch) and non-deferred paths
+        install bit-identical state.
+        """
+        n_kept, w_act, d_act, n_steps, n_gp_dim, n_warp = meta
+        sz_chain = n_kept * w_act * d_act
+        sz_pos = w_act * d_act
+        kept_steps = blob[:sz_chain].reshape(n_kept, w_act, d_act)
+        self.chain_steps_ = kept_steps
+        self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
+        self.pos_ = blob[sz_chain : sz_chain + sz_pos].reshape(w_act, d_act)
+        median = blob[sz_chain + sz_pos : sz_chain + sz_pos + d_act]
+        accepted = int(round(float(blob[sz_chain + sz_pos + d_act]))) * 4096
+        accepted += int(round(float(blob[sz_chain + sz_pos + d_act + 1])))
+        lml = float(blob[sz_chain + sz_pos + d_act + 2])
+        _maybe_warn_rhat(kept_steps, warn_rhat)
+        self.n_accepted_ = accepted
+        self.n_proposals_ = n_steps * w_act
+        if self.warp_inputs:
+            self.warp_alphas_ = median[n_gp_dim : n_gp_dim + n_warp]
+            self.warp_betas_ = median[n_gp_dim + n_warp :]
+        theta_med = median[:n_gp_dim]
+        widx = self.white_index_
+        if widx is not None:
+            self.noise_ = float(np.exp(theta_med[widx]))
+        self._theta = np.asarray(theta_med, dtype=float)
+        self._consensus_lml_ = lml
+        self.log_marginal_likelihood_value_ = lml
+
+    @staticmethod
+    def _blob_size(meta):
+        n_kept, w_act, d_act, _, _, _ = meta
+        return n_kept * w_act * d_act + w_act * d_act + d_act + 3
+
+    def _finalize_sample(self, extra_dev=None, extra_shape=None):
+        """Materialize a deferred fused sample (ONE device->host fetch).
+
+        ``extra_dev`` optionally rides along: a second device program's
+        output (the fused acquisition values) is packed onto the blob by
+        a trivial concat program so the entire warm tell costs a single
+        ~24 ms tunnel round-trip instead of two. Returns the unpacked
+        extra (host numpy, reshaped to ``extra_shape``) or ``None``.
+        """
+        p = self._pending
+        if p is None:
+            return None
+        self._pending = None
+        blob_dev, meta = p["blob"], p["meta"]
+        if extra_dev is None:
+            self._install_from_blob(_fetch(blob_dev), meta)
+            return None
+        packed = _fetch(_pack_fetch(blob_dev, extra_dev))
+        size = self._blob_size(meta)
+        self._install_from_blob(packed[:size], meta)
+        extra = packed[size:]
+        if extra_shape is not None:
+            extra = extra.reshape(extra_shape)
+        return extra
+
+    def _theta_device(self, dt):
+        """Consensus theta as a device array (no host fetch while a
+        deferred sample is pending)."""
+        if self._pending is not None:
+            return self._pending["theta_dev"]
+        return jnp.asarray(self._theta, dtype=dt)
+
+    def _n_chain_rows(self):
+        if self._pending is not None:
+            return int(self._pending["chain_dev"].shape[0])
+        return len(self.chain_)
+
+    def _chain_rows_device(self, idx, dt):
+        """Selected hyperposterior rows as a device array.
+
+        While a deferred sample is pending the gather happens on device
+        (the chain never crosses to the host); otherwise the usual host
+        gather + upload.
+        """
+        if self._pending is not None:
+            return self._pending["chain_dev"][jnp.asarray(idx)]
+        return jnp.asarray(self.chain_[idx], dtype=dt)
 
     def mcmc_diagnostics(self, c: float = 5.0) -> dict:
         """Convergence diagnostics of the last hyperposterior chain.

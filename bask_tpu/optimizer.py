@@ -354,34 +354,60 @@ class Optimizer:
                         self.space.transform(self.Xi), self.yi, **common
                     )
                 else:
+                    # warm refit: defer the device->host fetch so the
+                    # acquisition program below is dispatched against the
+                    # device-resident consensus outputs and BOTH
+                    # programs' host-bound results cross in ONE packed
+                    # fetch (~24 ms/round-trip on a remote tunnel)
                     self.gp.sample(
-                        self.space.transform(self.Xi), self.yi, **common
+                        self.space.transform(self.Xi),
+                        self.yi,
+                        _defer_fetch=True,
+                        **common,
                     )
 
             t_acq = _time.perf_counter()
-            X = self._candidate_grid()
-            acq_seed = self.rng.randint(0, np.iinfo(np.int32).max)
-            # one fused device program for supported acquisitions (the
-            # warm-tell hot path); bit-identical legacy fallback for
-            # custom/unhashable configurations
-            acq_out = acq_mod.evaluate_acquisitions_fused(
-                X=X,
-                gpr=self.gp,
-                acq=self.acq_func,
-                n_samples=n_samples,
-                random_state=acq_seed,
-                **self.acq_func_kwargs,
-            )
-            if acq_out is None:
-                acq_out = evaluate_acquisitions(
+            try:
+                X = self._candidate_grid()
+                acq_seed = self.rng.randint(0, np.iinfo(np.int32).max)
+                # one fused device program for supported acquisitions
+                # (the warm-tell hot path); bit-identical legacy
+                # fallback for custom/unhashable configurations
+                res = acq_mod.evaluate_acquisitions_fused(
                     X=X,
                     gpr=self.gp,
-                    acquisition_functions=(self.acq_func,),
+                    acq=self.acq_func,
                     n_samples=n_samples,
-                    progress=False,
                     random_state=acq_seed,
+                    _defer=self.gp._pending is not None,
                     **self.acq_func_kwargs,
                 )
+                if isinstance(res, tuple):
+                    # overlapped path: one combined fetch for the sample
+                    # blob + acquisition values, then host postprocess
+                    vals_dev, shape, post_fn = res
+                    acq_out = post_fn(
+                        self.gp._finalize_sample(vals_dev, shape)
+                    )
+                else:
+                    # not fusable (or not deferred): materialize the
+                    # pending sample (no-op when nothing is pending)
+                    # before any legacy host-side evaluation
+                    self.gp._finalize_sample()
+                    acq_out = res
+                if acq_out is None:
+                    acq_out = evaluate_acquisitions(
+                        X=X,
+                        gpr=self.gp,
+                        acquisition_functions=(self.acq_func,),
+                        n_samples=n_samples,
+                        progress=False,
+                        random_state=acq_seed,
+                        **self.acq_func_kwargs,
+                    )
+            finally:
+                # safety net: never let a deferred sample escape tell()
+                self.gp._finalize_sample()
             acq_values = acq_out.flatten()
             self._next_x = self.space.inverse_transform(
                 X[np.argmax(acq_values)][None, :]
@@ -389,6 +415,11 @@ class Optimizer:
             # lightweight per-phase observability (the reference exposes
             # none, SURVEY.md §5): wall-clock of the MCMC refit and the
             # acquisition pass for the last tell
+            # NOTE: on the overlapped warm path the sample program is
+            # dispatched asynchronously, so gp_fit_s measures dispatch
+            # (+ any ML-II host work on cold fits) and acquisition_s
+            # carries the joint device compute + the single combined
+            # fetch of both programs' outputs
             done = _time.perf_counter()
             self.last_timings_ = {
                 "gp_fit_s": t_acq - t_fit,

@@ -67,15 +67,27 @@ def warmup_optimizer(
     d = opt.space.transformed_n_dims
     buckets = sorted({_bucket(max(int(n), 1)) for n in n_observations})
     for b in buckets:
-        # fill the bucket exactly: any n in (b-64, b] pads to the same
-        # shapes, hence the same compiled programs
-        X = rng.uniform(size=(b, d))
-        y = np.sin(3.0 * X[:, 0]) + 0.1 * rng.randn(b)
+        # fill the bucket up to one point below: any n in (b-64, b] pads
+        # to the same shapes, hence the same compiled programs
+        X = rng.uniform(size=(b - 1, d) if b > 1 else (1, d))
+        y = np.sin(3.0 * X[:, 0]) + 0.1 * rng.randn(X.shape[0])
         pts = opt.space.inverse_transform(X)
         clone.tell(
             pts,
             list(y),
             replace=True,
+            n_samples=n_samples,
+            gp_samples=gp_samples,
+            gp_burnin=gp_burnin,
+        )
+        # one more point inside the same bucket drives the WARM tell —
+        # the overlapped sample+acquisition path with its packed
+        # single-fetch program — so the production loop's steady state
+        # is fully compiled too, not just the cold fit path
+        x1 = opt.space.inverse_transform(rng.uniform(size=(1, d)))[0]
+        clone.tell(
+            x1,
+            float(np.sin(3.0 * rng.uniform())),
             n_samples=n_samples,
             gp_samples=gp_samples,
             gp_burnin=gp_burnin,

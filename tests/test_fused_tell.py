@@ -103,8 +103,10 @@ def test_fused_tell_next_x_bit_identical(fused_switch, acq, n_samples, warp):
 
 
 def test_warm_tell_is_two_device_programs(fused_switch, monkeypatch):
-    """The whole warm tell (PVRS default) dispatches exactly TWO device
-    programs: the fused sample and the fused acquisition pass."""
+    """The whole warm tell (PVRS default) dispatches exactly TWO fused
+    device programs: the sample and the acquisition pass (plus a trivial
+    jitted concat that packs their host-bound outputs for the single
+    combined fetch — not an aot_call)."""
     from bask_tpu.utils import aot
 
     opt = Optimizer(
@@ -136,6 +138,72 @@ def test_warm_tell_is_two_device_programs(fused_switch, monkeypatch):
     assert len(calls) == 2, calls
     assert "_fused_sample" in calls[0]
     assert "_fused_fullgp_vals" in calls[1]
+
+
+@pytest.mark.parametrize("acq,n_samples", [("pvrs", 0), ("ei", 5)])
+def test_warm_tell_is_one_fetch(fused_switch, monkeypatch, acq, n_samples):
+    """The overlapped warm tell crosses device->host exactly ONCE: the
+    acquisition program is dispatched against the pending sample's
+    device-resident outputs, and both programs' host-bound results ride
+    one packed blob (on a remote tunnel each fetch costs ~24 ms
+    round-trip regardless of size)."""
+    opt = Optimizer(
+        dimensions=[(-1.0, 1.0)],
+        n_points=40,
+        n_initial_points=2,
+        init_strategy="random",
+        acq_func=acq,
+        random_state=0,
+    )
+    rng = np.random.RandomState(1)
+    for _ in range(3):  # init phase + first (cold) fit
+        x = opt.ask()
+        opt.tell(x, float(x[0] ** 2 + 0.01 * rng.randn()),
+                 n_samples=n_samples, gp_samples=40, gp_burnin=3)
+
+    fetches = []
+    real = bg._fetch
+    monkeypatch.setattr(bg, "_fetch", lambda a: fetches.append(1) or real(a))
+    x = opt.ask()
+    opt.tell(x, float(x[0] ** 2), n_samples=n_samples, gp_samples=40,
+             gp_burnin=3)
+    assert len(fetches) == 1
+    assert opt.gp._pending is None  # never escapes tell()
+    assert opt.gp.chain_ is not None and opt.gp.pos_ is not None
+
+
+def test_deferred_sample_finalizes_on_reuse(fused_switch):
+    """A deferred sample left pending (aborted tell / direct misuse) is
+    materialized before any later sample() starts, and finalize is
+    idempotent."""
+    gp = _fit_gp(warp=False)
+    gp.sample(n_desired_samples=20, n_burnin=2, n_walkers_per_thread=10,
+              _defer_fetch=True)
+    assert gp._pending is not None
+    chain_stale = gp.chain_
+    gp.sample(n_desired_samples=20, n_burnin=2, n_walkers_per_thread=10)
+    assert gp._pending is None
+    assert gp.chain_ is not chain_stale
+    assert gp._finalize_sample() is None  # idempotent no-op
+
+
+def test_deferred_equals_immediate_sample(fused_switch):
+    """sample(_defer_fetch=True) + finalize installs bit-identical state
+    to the immediate fused path."""
+    g1 = _fit_gp(warp=False)
+    g2 = _fit_gp(warp=False)
+    g1.sample(n_desired_samples=20, n_burnin=2, n_walkers_per_thread=10,
+              _defer_fetch=True)
+    g1._finalize_sample()
+    g2.sample(n_desired_samples=20, n_burnin=2, n_walkers_per_thread=10)
+    assert np.array_equal(g1.chain_, g2.chain_)
+    assert np.array_equal(g1.pos_, g2.pos_)
+    assert np.array_equal(g1.theta, g2.theta)
+    assert g1.n_accepted_ == g2.n_accepted_
+    assert (
+        g1.log_marginal_likelihood_value_
+        == g2.log_marginal_likelihood_value_
+    )
 
 
 def test_custom_acquisition_falls_back(fused_switch):

@@ -29,6 +29,11 @@ def test_warmup_precompiles_tell_path():
         "ml2": bg._lml_value_grad._cache_size(),
         "post": bg._posterior_robust._cache_size(),
         "acq": acq_mod._per_draw_predictions._cache_size(),
+        # the warm-tell overlap programs: the fused sample, the fused
+        # marginal acquisition, and the packed-single-fetch concat
+        "fused_sample": bg._fused_sample._cache_size(),
+        "fused_acq": acq_mod._fused_marginal_vals._cache_size(),
+        "pack": bg._pack_fetch._cache_size(),
     }
 
     rng = np.random.RandomState(0)
@@ -46,3 +51,6 @@ def test_warmup_precompiles_tell_path():
     assert bg._lml_value_grad._cache_size() == sizes["ml2"]
     assert bg._posterior_robust._cache_size() == sizes["post"]
     assert acq_mod._per_draw_predictions._cache_size() == sizes["acq"]
+    assert bg._fused_sample._cache_size() == sizes["fused_sample"]
+    assert acq_mod._fused_marginal_vals._cache_size() == sizes["fused_acq"]
+    assert bg._pack_fetch._cache_size() == sizes["pack"]
