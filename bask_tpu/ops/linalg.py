@@ -25,6 +25,7 @@ reference's try/except ValueError -> -inf semantics
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -161,7 +162,7 @@ def _lml_batch_direct(kernel, spec, thetas, X, y, alpha_diag, mask):
     )
 
 
-def batched_lml(kernel, thetas, X, y, alpha_diag, mask):
+def batched_lml(kernel, thetas, X, y, alpha_diag, mask, mesh=None):
     """LML for a batch of thetas: (W, n_theta) -> (W,).
 
     Fast path: when the kernel matches the fusable
@@ -174,7 +175,36 @@ def batched_lml(kernel, thetas, X, y, alpha_diag, mask):
     When the (W, n_pad, n_pad) gram batch would blow the HBM budget
     (``LML_MAX_BATCH_BYTES``), the walker axis is processed in equal
     chunks inside a ``lax.map`` — bit-identical results, bounded memory.
+
+    ``mesh``: optional single-axis ``jax.sharding.Mesh``. The whole
+    per-walker pipeline (gram -> factorization -> LML reduction) is then
+    wrapped in ``shard_map`` over the walker axis: each device runs the
+    Pallas gram kernel on its LOCAL walker shard. This is load-bearing
+    on multi-chip hardware — a ``pallas_call`` is a custom call that
+    GSPMD cannot partition, so under automatic sharding it would be
+    computed from gathered (replicated) operands instead of scaling
+    with the mesh. The per-walker results are identical either way (no
+    cross-walker reductions exist), and the HBM chunk budget naturally
+    applies to the per-device shard. The walker count must divide the
+    mesh size (``BayesGPR.sample(mesh=)`` rounds it accordingly).
     """
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+        xspec = P(ax, None, None) if X.ndim == 3 else P(None, None)
+        fn = shard_map(
+            partial(_batched_lml_impl, kernel),
+            mesh=mesh,
+            in_specs=(P(ax, None), xspec, P(None), P(None), P(None)),
+            out_specs=P(ax),
+        )
+        return fn(thetas, X, y, alpha_diag, mask)
+    return _batched_lml_impl(kernel, thetas, X, y, alpha_diag, mask)
+
+
+def _batched_lml_impl(kernel, thetas, X, y, alpha_diag, mask):
     n_pad = X.shape[-2]
     # any 64-multiple bucket: the Pallas gram picks the largest divisor
     # tile (256 preferred, benchmarks/bench_gram_tile.py)

@@ -133,3 +133,67 @@ def test_chunked_inside_jit_chain(monkeypatch):
 
     chain_chunk, final_chunk = run_ensemble(log_prob_chunked, pos0, key, 5)
     assert np.array_equal(np.asarray(chain_full), np.asarray(chain_chunk))
+
+
+def _mesh8():
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(_jax.devices()[:8]), ("walkers",))
+
+
+def _setup_w(n_walkers):
+    kernel, thetas, X, y, alpha, mask = _setup()
+    rng = np.random.RandomState(7)
+    thetas = jnp.asarray(
+        np.asarray(thetas)[0][None, :]
+        + 0.2 * rng.randn(n_walkers, thetas.shape[1])
+    )
+    return kernel, thetas, X, y, alpha, mask
+
+
+def test_mesh_sharded_matches_unsharded():
+    """batched_lml(mesh=) wraps the per-walker pipeline in shard_map
+    over the walker axis (each device computes its LOCAL shard — the
+    layout the Pallas gram needs on real multi-chip hardware). Per-
+    walker results must match the unsharded batch (1e-12: XLA lowers
+    different batch sizes with different blocking, same as chunking)."""
+    import jax as _jax
+
+    kernel, thetas, X, y, alpha, mask = _setup_w(16)
+    mesh = _mesh8()
+    full = np.asarray(
+        _jax.jit(lambda t: batched_lml(kernel, t, X, y, alpha, mask))(thetas)
+    )
+    sharded = np.asarray(
+        _jax.jit(
+            lambda t: batched_lml(kernel, t, X, y, alpha, mask, mesh=mesh)
+        )(thetas)
+    )
+    np.testing.assert_allclose(sharded, full, rtol=1e-12)
+
+
+def test_mesh_sharded_per_walker_X_and_chunked(monkeypatch):
+    """shard_map + per-walker X (warping layout) + HBM chunking INSIDE
+    the local shard compose: results match the plain batch."""
+    import jax as _jax
+
+    from bask_tpu.ops import linalg
+
+    kernel, thetas, X, y, alpha, mask = _setup_w(16)
+    rng = np.random.RandomState(3)
+    Xb = jnp.asarray(
+        np.clip(np.asarray(X)[None] + 0.01 * rng.randn(16, *X.shape), 0, 1)
+    )
+    mesh = _mesh8()
+    full = np.asarray(
+        _jax.jit(lambda t: batched_lml(kernel, t, Xb, y, alpha, mask))(thetas)
+    )
+    # chunk inside each device's 2-walker shard (chunk=1 per step)
+    monkeypatch.setattr(linalg, "LML_MAX_BATCH_BYTES", 1)
+    sharded = np.asarray(
+        _jax.jit(
+            lambda t: batched_lml(kernel, t, Xb, y, alpha, mask, mesh=mesh)
+        )(thetas)
+    )
+    np.testing.assert_allclose(sharded, full, rtol=1e-12)
