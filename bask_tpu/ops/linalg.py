@@ -189,16 +189,21 @@ def batched_lml(kernel, thetas, X, y, alpha_diag, mask, mesh=None):
     mesh size (``BayesGPR.sample(mesh=)`` rounds it accordingly).
     """
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         ax = mesh.axis_names[0]
         xspec = P(ax, None, None) if X.ndim == 3 else P(None, None)
-        fn = shard_map(
+        # check_vma=False: the local body contains a pallas_call, whose
+        # outputs carry no varying-mesh-axes annotation — the default
+        # replication check rejects it (measured on v5e-1; the CPU mesh
+        # tests never see it because the Pallas path is TPU-gated).
+        # The body has no collectives, so the check adds nothing here.
+        fn = jax.shard_map(
             partial(_batched_lml_impl, kernel),
             mesh=mesh,
             in_specs=(P(ax, None), xspec, P(None), P(None), P(None)),
             out_specs=P(ax),
+            check_vma=False,
         )
         return fn(thetas, X, y, alpha_diag, mask)
     return _batched_lml_impl(kernel, thetas, X, y, alpha_diag, mask)
