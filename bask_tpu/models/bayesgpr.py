@@ -500,6 +500,22 @@ def _fused_sample(
     return blob, post, Xw
 
 
+def _blob_layout(meta):
+    """Offsets into the fused-sample blob for ``meta = (n_kept, w_act,
+    d_act, n_steps, n_gp_dim, n_warp)``: returns (sz_chain, sz_pos,
+    off_median, total). Single source of truth for every site that
+    slices the blob (the defer branch, ``_install_from_blob``, and the
+    packed-fetch split) — the layout is [flat chain, final pos, median,
+    acc_hi, acc_lo, lml], matching ``_fused_sample``'s concat order.
+    """
+    n_kept, w_act, d_act, _, _, _ = meta
+    sz_chain = n_kept * w_act * d_act
+    sz_pos = w_act * d_act
+    off_median = sz_chain + sz_pos
+    total = off_median + d_act + 3
+    return sz_chain, sz_pos, off_median, total
+
+
 def _fetch(x):
     """Single device->host fetch point for the fused-sample blob.
 
@@ -1179,10 +1195,7 @@ class BayesGPR:
             w_act, d_act = pos_dev.shape
             n_kept = len(range(n_burnin + n_thin - 1, n_steps, n_thin))
             meta = (n_kept, w_act, d_act, n_steps, n_gp_dim, n_warp)
-            # the program already factorized the consensus posterior —
-            # install it without the setter's extra dispatch
-            self._post = post
-            self._post_data = self._data._replace(X=Xw)
+            post_data = self._data._replace(X=Xw)
             if _defer_fetch and not self.warp_inputs and warn_rhat is None:
                 # Overlap path: keep the blob ON DEVICE so the caller can
                 # dispatch the acquisition program against the
@@ -1195,19 +1208,31 @@ class BayesGPR:
                 # are excluded: the candidate grid needs the new warp
                 # parameters on the host, which would force a fetch
                 # anyway.
-                sz_chain = n_kept * w_act * d_act
-                off = sz_chain + w_act * d_act
+                sz_chain, _, off_median, _ = _blob_layout(meta)
                 self._pending = {
                     "blob": blob_dev,
                     "meta": meta,
-                    "theta_dev": blob_dev[off : off + n_gp_dim],
+                    "theta_dev": blob_dev[off_median : off_median + n_gp_dim],
                     "chain_dev": blob_dev[:sz_chain].reshape(
                         n_kept * w_act, d_act
                     ),
+                    # a failed finalize fetch must leave the estimator
+                    # fully-old, not mixed — keep the previous posterior
+                    # for rollback
+                    "prev_post": (self._post, getattr(self, "_post_data", None)),
                 }
+                # the program already factorized the consensus posterior;
+                # the acquisition program consumes it device-resident
+                self._post = post
+                self._post_data = post_data
                 return self
             # ONE fetch for everything host-bound (see _fused_sample).
-            self._install_from_blob(_fetch(blob_dev), meta, warn_rhat)
+            # Fetch FIRST: a tunnel/device failure here must not leave a
+            # new posterior installed next to stale host state.
+            blob = _fetch(blob_dev)
+            self._post = post
+            self._post_data = post_data
+            self._install_from_blob(blob, meta, warn_rhat)
             return self
 
         if progress:
@@ -1334,16 +1359,15 @@ class BayesGPR:
         install bit-identical state.
         """
         n_kept, w_act, d_act, n_steps, n_gp_dim, n_warp = meta
-        sz_chain = n_kept * w_act * d_act
-        sz_pos = w_act * d_act
+        sz_chain, sz_pos, off_median, _ = _blob_layout(meta)
         kept_steps = blob[:sz_chain].reshape(n_kept, w_act, d_act)
         self.chain_steps_ = kept_steps
         self.chain_ = kept_steps.reshape(-1, kept_steps.shape[-1])
-        self.pos_ = blob[sz_chain : sz_chain + sz_pos].reshape(w_act, d_act)
-        median = blob[sz_chain + sz_pos : sz_chain + sz_pos + d_act]
-        accepted = int(round(float(blob[sz_chain + sz_pos + d_act]))) * 4096
-        accepted += int(round(float(blob[sz_chain + sz_pos + d_act + 1])))
-        lml = float(blob[sz_chain + sz_pos + d_act + 2])
+        self.pos_ = blob[sz_chain:off_median].reshape(w_act, d_act)
+        median = blob[off_median : off_median + d_act]
+        accepted = int(round(float(blob[off_median + d_act]))) * 4096
+        accepted += int(round(float(blob[off_median + d_act + 1])))
+        lml = float(blob[off_median + d_act + 2])
         _maybe_warn_rhat(kept_steps, warn_rhat)
         self.n_accepted_ = accepted
         self.n_proposals_ = n_steps * w_act
@@ -1358,11 +1382,6 @@ class BayesGPR:
         self._consensus_lml_ = lml
         self.log_marginal_likelihood_value_ = lml
 
-    @staticmethod
-    def _blob_size(meta):
-        n_kept, w_act, d_act, _, _, _ = meta
-        return n_kept * w_act * d_act + w_act * d_act + d_act + 3
-
     def _finalize_sample(self, extra_dev=None, extra_shape=None):
         """Materialize a deferred fused sample (ONE device->host fetch).
 
@@ -1371,20 +1390,28 @@ class BayesGPR:
         a trivial concat program so the entire warm tell costs a single
         ~24 ms tunnel round-trip instead of two. Returns the unpacked
         extra (host numpy, reshaped to ``extra_shape``) or ``None``.
+
+        If the fetch itself fails (tunnel drop, failed async chain
+        program), the previously installed posterior is rolled back so
+        the estimator is left fully-old rather than mixed.
         """
         p = self._pending
         if p is None:
             return None
         self._pending = None
         blob_dev, meta = p["blob"], p["meta"]
-        if extra_dev is None:
-            self._install_from_blob(_fetch(blob_dev), meta)
-            return None
-        packed = _fetch(_pack_fetch(blob_dev, extra_dev))
-        size = self._blob_size(meta)
-        self._install_from_blob(packed[:size], meta)
-        extra = packed[size:]
-        if extra_shape is not None:
+        try:
+            if extra_dev is None:
+                blob, extra = _fetch(blob_dev), None
+            else:
+                packed = _fetch(_pack_fetch(blob_dev, extra_dev))
+                size = _blob_layout(meta)[3]
+                blob, extra = packed[:size], packed[size:]
+        except Exception:
+            self._post, self._post_data = p["prev_post"]
+            raise
+        self._install_from_blob(blob, meta)
+        if extra is not None and extra_shape is not None:
             extra = extra.reshape(extra_shape)
         return extra
 

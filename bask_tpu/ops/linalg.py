@@ -185,8 +185,10 @@ def batched_lml(kernel, thetas, X, y, alpha_diag, mask, mesh=None):
     computed from gathered (replicated) operands instead of scaling
     with the mesh. The per-walker results are identical either way (no
     cross-walker reductions exist), and the HBM chunk budget naturally
-    applies to the per-device shard. The walker count must divide the
-    mesh size (``BayesGPR.sample(mesh=)`` rounds it accordingly).
+    applies to the per-device shard. The mesh size should divide the
+    walker count for even shards (``BayesGPR.sample(mesh=)`` rounds the
+    ensemble to multiples of 2x the device count; shard_map tolerates
+    uneven shards by padding, but even shards keep every device busy).
     """
     if mesh is not None:
         from jax.sharding import PartitionSpec as P

@@ -69,10 +69,12 @@ def _pick_tile(n_pad: int) -> int:
     # VMEM budget: the (tile x n_pad) f32 output strip is double-
     # buffered, so its block must stay well under half of the ~16 MB
     # VMEM. Cap it at ~4 MB — at n_pad=8192 that shrinks the strip to
-    # 128 rows (256-row strips OOMed scoped vmem: 2 x 8 MB + inputs),
-    # at 16384 to 64. Beyond ~32k rows even a 64-row strip exceeds the
-    # budget, but a single walker's gram is >4 GB HBM there — far past
-    # the single-chip regime this kernel serves.
+    # 128 rows (256-row strips OOMed scoped vmem: 2 x 8 MB + inputs).
+    # At n_pad=16384 even the 64-row strip OOMs (measured 18.95 MB:
+    # the distance-matmul temps live alongside the double-buffered
+    # output), so very large rows drop to 32 (Mosaic min sublane is 8).
+    if n_pad >= 16384:
+        return 32
     max_tile = max(64, (4 * 1024 * 1024 // (4 * n_pad)) // 64 * 64)
     for t in (_TILE, 256, 128, 64):
         if t <= _TILE and t <= max_tile and n_pad % t == 0:

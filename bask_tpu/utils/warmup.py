@@ -67,9 +67,9 @@ def warmup_optimizer(
     d = opt.space.transformed_n_dims
     buckets = sorted({_bucket(max(int(n), 1)) for n in n_observations})
     for b in buckets:
-        # fill the bucket up to one point below: any n in (b-64, b] pads
-        # to the same shapes, hence the same compiled programs
-        X = rng.uniform(size=(b - 1, d) if b > 1 else (1, d))
+        # fill the bucket up to one point below (b >= 64 always): any n
+        # in (b-64, b] pads to the same shapes, hence the same programs
+        X = rng.uniform(size=(b - 1, d))
         y = np.sin(3.0 * X[:, 0]) + 0.1 * rng.randn(X.shape[0])
         pts = opt.space.inverse_transform(X)
         clone.tell(

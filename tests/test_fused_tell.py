@@ -206,6 +206,35 @@ def test_deferred_equals_immediate_sample(fused_switch):
     )
 
 
+def test_finalize_fetch_failure_rolls_back(fused_switch, monkeypatch):
+    """A failed finalize fetch (tunnel drop / failed async chain program)
+    must leave the estimator fully-old: the deferred sample's
+    device-installed posterior is rolled back, the exception propagates,
+    and a retried sample() works from the clean state."""
+    gp = _fit_gp(warp=False)
+    post_before = gp._post
+    post_data_before = gp._post_data
+    chain_before = gp.chain_
+    gp.sample(n_desired_samples=20, n_burnin=2, n_walkers_per_thread=10,
+              _defer_fetch=True)
+    assert gp._post is not post_before  # new posterior device-installed
+
+    def boom(_):
+        raise RuntimeError("tunnel drop")
+
+    monkeypatch.setattr(bg, "_fetch", boom)
+    with pytest.raises(RuntimeError, match="tunnel drop"):
+        gp._finalize_sample()
+    assert gp._pending is None
+    assert gp._post is post_before
+    assert gp._post_data is post_data_before
+    assert gp.chain_ is chain_before  # host state untouched
+    monkeypatch.undo()
+    gp.sample(n_desired_samples=20, n_burnin=2, n_walkers_per_thread=10)
+    assert gp._pending is None
+    assert gp.chain_ is not chain_before
+
+
 def test_custom_acquisition_falls_back(fused_switch):
     """A custom FullGP acquisition is not fusable; the dispatcher must
     return None and the legacy path must still drive the loop."""
