@@ -57,6 +57,24 @@ _BASE = 32
 # Module-level so benchmarks can switch variants per process.
 BASE_IMPL = "xla"
 
+# Pallas fused base (chol + inverse in ONE program, pallas_chol_base.py):
+# "auto" = on for f32 on a non-CPU backend (measured 3.35 -> 2.10 ms for
+# the (50,512,512) factorization on v5e-1 — the XLA base cholesky's
+# While-loop latency and the per-base Newton inverses were the critical
+# path); "off" / "on" override. CPU keeps the XLA base (bit-stable
+# goldens; Mosaic unavailable).
+PALLAS_BASE = "auto"
+
+
+def _use_pallas_base(A) -> bool:
+    if PALLAS_BASE == "off" or A.dtype != jnp.float32:
+        return False
+    if PALLAS_BASE == "on":
+        return True
+    import jax
+
+    return jax.default_backend() != "cpu"
+
 
 def _unrolled_chol(A):
     """Right-looking Cholesky with every step unrolled at trace time.
@@ -117,6 +135,10 @@ def _chol_inv_recursive(A):
     factorization's serial-op-count bottleneck on TPU)."""
     n = A.shape[-1]
     if n <= _BASE:
+        if _use_pallas_base(A):
+            from .pallas_chol_base import chol_inv_base
+
+            return chol_inv_base(A)
         L = _base_chol(A)
         return L, tri_newton_inv(L, n)
     h = n // 2
