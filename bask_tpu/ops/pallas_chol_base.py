@@ -83,11 +83,38 @@ def chol_inv_base(A, interpret: bool = False):
 
     ``A``: (..., m, m) float32, m static (the blocked factorization's
     base size, <= 64ish). Any leading batch shape; flattened internally
-    and processed in ``_WB``-walker grid blocks. Returns lower ``L`` and
-    its exact triangular inverse, both (..., m, m).
+    and processed in grid blocks. Returns lower ``L`` and its exact
+    triangular inverse, both (..., m, m).
+
+    Under ``vmap`` the batch axis folds into the SAME leading-dim
+    flattening (``custom_vmap`` below) — without it, JAX's generic
+    pallas batching rule turns a vmapped per-draw posterior into
+    hundreds of single-matrix programs (measured 13.1 vs 4.5 ms for the
+    100-draw acquisition pass).
 
     ``interpret=True`` runs the Pallas interpreter (CPU parity tests).
     """
+    if interpret:
+        return _chol_inv_impl(A, True)
+    return _chol_inv_batched(A)
+
+
+@jax.custom_batching.custom_vmap
+def _chol_inv_batched(A):
+    return _chol_inv_impl(A, False)
+
+
+@_chol_inv_batched.def_vmap
+def _chol_inv_batched_rule(axis_size, in_batched, A):
+    # the impl natively flattens any leading batch dims into the grid —
+    # recurse so nested vmaps collapse the same way
+    if not in_batched[0]:  # vmap(in_axes=None): materialize the axis
+        A = jnp.broadcast_to(A[None], (axis_size,) + A.shape)
+    out = _chol_inv_batched(A)
+    return out, (True, True)
+
+
+def _chol_inv_impl(A, interpret: bool):
     batch = A.shape[:-2]
     m = A.shape[-1]
     B = math.prod(batch) if batch else 1

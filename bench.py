@@ -69,6 +69,7 @@ def _init_positions(n_theta, rng):
 def bench_tpu():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from bask_tpu.models import gp as gpc
     from bask_tpu.ops import kernels as bk, linalg
@@ -152,31 +153,44 @@ def bench_tpu():
 
     ei = ExpectedImprovement()
 
+    # Time K passes inside one lax.scan (same methodology as the chain:
+    # a single eager pass is dominated by the ~25-35 ms tunnel fetch
+    # round-trip, which undercounted throughput ~6x). The per-iteration
+    # theta perturbation keeps XLA from hoisting the loop-invariant body.
+    ACQ_K = 50
+
     @jax.jit
     def acq_pass():
-        mu, std, _ = _per_draw_predictions(
-            rows, data, Xc, kacq,
-            kernel=kernel, n_warp=0,
-            white_idx=kernel.n_theta - 1, need_sample=False,
+        def body(c, i):
+            mu, std, _ = _per_draw_predictions(
+                rows * (1.0 + 1e-6 * i), data, Xc, kacq,
+                kernel=kernel, n_warp=0,
+                white_idx=kernel.n_theta - 1, need_sample=False,
+            )
+            vals = jax.vmap(lambda m, s: ei(m, s))(mu, std)
+            return c + jnp.sum(vals), None
+
+        out, _ = lax.scan(
+            body, jnp.asarray(0.0, dtype), jnp.arange(ACQ_K, dtype=dtype)
         )
-        return jax.vmap(lambda m, s: ei(m, s))(mu, std)
+        return out
 
     v = acq_pass()
-    float(v[0, 0])  # compile+sync
+    float(v)  # compile+sync
     t0 = time.perf_counter()
     v = acq_pass()
-    float(v[0, 0])
+    float(v)
     acq_elapsed = time.perf_counter() - t0
-    acq_evals_per_s = 100 * 512 / acq_elapsed
+    acq_evals_per_s = ACQ_K * 100 * 512 / acq_elapsed
 
     # chain-health CONTEXT for the headline number (host-side, not in
     # the timed section). NB: this is a fixed-workload throughput
     # benchmark (the 100x300 shape is driver-defined) — the R-hat/ESS
     # below describe how far that fixed chain got, they are NOT a claim
-    # of convergence. Measured R-hat trajectory on this problem:
-    # 1.80@300 -> 1.30@2400 steps; R-hat < 1.1 needs roughly 8-15k
-    # steps (~1-2 min of chain time; BASELINE.md "chain length to
-    # convergence").
+    # of convergence. Measured on this problem
+    # (benchmarks/bench_convergence.py, chunk-extended chain): R-hat
+    # < 1.1 is reached at 7200 steps, ~20 s of warm chain time
+    # (BASELINE.md "chain length to convergence").
     from bask_tpu.utils.diagnostics import effective_sample_size, split_rhat
 
     steps = np.asarray(chain)[N_STEPS // 3:]

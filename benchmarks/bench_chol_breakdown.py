@@ -71,6 +71,14 @@ def main():
             L, inv = fc._chol_inv_recursive(A)
             return L[0, 0, 0] + inv[-1, -1, -1]
 
+    elif variant in ("w100-pallas", "w100-xla"):
+        fc.PALLAS_BASE = "on" if variant == "w100-pallas" else "off"
+        A = jnp.asarray(_pd(rng, N, w=100), dtype=jnp.float32)
+
+        def op(A):
+            L, invs = fc.block_cholesky(A, nb=128)
+            return L[0, 0, 0] + invs[-1][-1, -1, -1]
+
     elif variant in ("b1-pallas", "b1-xla"):
         fc.PALLAS_BASE = "on" if variant == "b1-pallas" else "off"
         A = jnp.asarray(_pd(rng, N, w=1), dtype=jnp.float32)
