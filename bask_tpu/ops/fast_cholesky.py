@@ -58,12 +58,24 @@ _BASE = 32
 BASE_IMPL = "xla"
 
 # Pallas fused base (chol + inverse in ONE program, pallas_chol_base.py):
-# "auto" = on for f32 on a non-CPU backend (measured 3.35 -> 2.10 ms for
-# the (50,512,512) factorization on v5e-1 — the XLA base cholesky's
+# "auto" = on for f32 on a TPU-like backend (measured 3.35 -> 0.89 ms
+# for the (50,512,512) factorization on v5e-1 — the XLA base cholesky's
 # While-loop latency and the per-base Newton inverses were the critical
 # path); "off" / "on" override. CPU keeps the XLA base (bit-stable
 # goldens; Mosaic unavailable).
 PALLAS_BASE = "auto"
+
+# Backends where the Mosaic/TPU Pallas kernels lower: real TPU PJRT and
+# the axon remote tunnel. Explicitly NOT cpu/gpu — a gpu backend would
+# crash at lowering if auto-gated in (the kernels use pltpu memory
+# spaces), so unknown backends fall back to the XLA paths.
+_NON_TPU_BACKENDS = ("cpu", "gpu", "cuda", "rocm", "metal")
+
+
+def is_tpu_like_backend() -> bool:
+    import jax
+
+    return jax.default_backend() not in _NON_TPU_BACKENDS
 
 
 def _use_pallas_base(A) -> bool:
@@ -71,9 +83,7 @@ def _use_pallas_base(A) -> bool:
         return False
     if PALLAS_BASE == "on":
         return True
-    import jax
-
-    return jax.default_backend() != "cpu"
+    return is_tpu_like_backend()
 
 
 def _unrolled_chol(A):

@@ -215,10 +215,12 @@ def _batched_lml_impl(kernel, thetas, X, y, alpha_diag, mask):
     n_pad = X.shape[-2]
     # any 64-multiple bucket: the Pallas gram picks the largest divisor
     # tile (256 preferred, benchmarks/bench_gram_tile.py)
+    from .fast_cholesky import is_tpu_like_backend
+
     fusable = (
         X.dtype == jnp.float32
         and n_pad % 64 == 0
-        and jax.default_backend() != "cpu"
+        and is_tpu_like_backend()
     )
     spec = None
     if fusable:

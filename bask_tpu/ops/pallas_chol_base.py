@@ -108,8 +108,14 @@ def _chol_inv_batched(A):
 def _chol_inv_batched_rule(axis_size, in_batched, A):
     # the impl natively flattens any leading batch dims into the grid —
     # recurse so nested vmaps collapse the same way
-    if not in_batched[0]:  # vmap(in_axes=None): materialize the axis
-        A = jnp.broadcast_to(A[None], (axis_size,) + A.shape)
+    if not in_batched[0]:
+        # vmap(in_axes=None): one unique factorization, broadcast after
+        L, X = _chol_inv_batched(A)
+        bshape = (axis_size,) + L.shape
+        return (
+            jnp.broadcast_to(L[None], bshape),
+            jnp.broadcast_to(X[None], bshape),
+        ), (True, True)
     out = _chol_inv_batched(A)
     return out, (True, True)
 

@@ -66,30 +66,21 @@ def _init_positions(n_theta, rng):
 # ---------------------------------------------------------------------------
 
 
-def bench_tpu():
+def build_north_star(dtype=None):
+    """Kernel, padded GPData, batched log-prob, and init positions for
+    the north-star problem. Shared by this bench and
+    ``benchmarks/bench_convergence.py`` so both measure the SAME problem
+    (one definition of the padding bucket, priors, and -inf clamping).
+    """
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from bask_tpu.models import gp as gpc
     from bask_tpu.ops import kernels as bk, linalg
-    from bask_tpu.parallel.mcmc import run_ensemble
     from bask_tpu.utils.priors import guess_priors
 
-    # Factorization variant: the blocked-matmul Cholesky and XLA's native
-    # one measure within a few percent at these shapes (see STATUS.md);
-    # BENCH_FAST=0 switches to the plain XLA path.
-    linalg.FAST_CHOLESKY = (
-        "off" if os.environ.get("BENCH_FAST") == "0" else "auto"
-    )
-    # BENCH_LOWER_GRAM=1 switches the chain to the symmetric-half Pallas
-    # gram (lower-triangle tiles only; VERDICT r2 #5 A/B measurement)
-    if os.environ.get("BENCH_LOWER_GRAM") == "1":
-        from bask_tpu.ops import pallas_gram as _pg
-
-        _pg.LOWER_GRAM = "on"
-
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     X, y = _dataset()
     kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
         tuple([0.3] * N_DIM), (0.05, 2.0), nu=2.5
@@ -121,8 +112,36 @@ def bench_tpu():
         tot = lp + lml
         return jnp.where(jnp.isfinite(tot), tot, -jnp.inf)
 
-    rng = np.random.RandomState(1)
-    pos0 = jnp.asarray(_init_positions(kernel.n_theta, rng), dtype=dtype)
+    pos0 = jnp.asarray(
+        _init_positions(kernel.n_theta, np.random.RandomState(1)),
+        dtype=dtype,
+    )
+    return kernel, data, log_prob, pos0
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from bask_tpu.ops import linalg
+    from bask_tpu.parallel.mcmc import run_ensemble
+
+    # Factorization variant: the blocked-matmul Cholesky and XLA's native
+    # one measure within a few percent at these shapes (see STATUS.md);
+    # BENCH_FAST=0 switches to the plain XLA path.
+    linalg.FAST_CHOLESKY = (
+        "off" if os.environ.get("BENCH_FAST") == "0" else "auto"
+    )
+    # BENCH_LOWER_GRAM=1 switches the chain to the symmetric-half Pallas
+    # gram (lower-triangle tiles only; VERDICT r2 #5 A/B measurement)
+    if os.environ.get("BENCH_LOWER_GRAM") == "1":
+        from bask_tpu.ops import pallas_gram as _pg
+
+        _pg.LOWER_GRAM = "on"
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    kernel, data, log_prob, pos0 = build_north_star(dtype)
 
     # warmup/compile with the SAME static n_steps as the timed run.
     # NB: sync via a scalar host fetch — jax.block_until_ready does NOT
