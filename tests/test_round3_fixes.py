@@ -449,3 +449,50 @@ class TestDeviceML2:
         with pytest.warns(UserWarning, match="finite"):
             theta = gp._ml2_optimize()
         assert np.isfinite(theta).all()
+
+
+class TestPallasBackendGate:
+    """The "auto" Pallas gates must only engage on TPU-like backends —
+    a gpu/cuda backend cannot lower Mosaic kernels, so auto-gating them
+    in would crash block_cholesky instead of falling back to XLA."""
+
+    def test_gpu_like_backends_excluded(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from bask_tpu.ops import fast_cholesky as fc
+
+        A32 = jnp.eye(4, dtype=jnp.float32)[None]
+        for name in ("gpu", "cuda", "rocm", "metal", "cpu"):
+            monkeypatch.setattr(jax, "default_backend", lambda n=name: n)
+            assert not fc.is_tpu_like_backend()
+            assert not fc._use_pallas_base(A32)
+
+    def test_tpu_like_backends_included(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from bask_tpu.ops import fast_cholesky as fc
+
+        A32 = jnp.eye(4, dtype=jnp.float32)[None]
+        A64 = jnp.eye(4, dtype=jnp.float64)[None]
+        for name in ("tpu", "axon"):
+            monkeypatch.setattr(jax, "default_backend", lambda n=name: n)
+            assert fc.is_tpu_like_backend()
+            assert fc._use_pallas_base(A32)
+            # f64 stays on the XLA base regardless of backend
+            assert not fc._use_pallas_base(A64)
+
+    def test_overrides_beat_backend(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from bask_tpu.ops import fast_cholesky as fc
+
+        A32 = jnp.eye(4, dtype=jnp.float32)[None]
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(fc, "PALLAS_BASE", "off")
+        assert not fc._use_pallas_base(A32)
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        monkeypatch.setattr(fc, "PALLAS_BASE", "on")
+        assert fc._use_pallas_base(A32)
