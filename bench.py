@@ -141,6 +141,39 @@ def bench_tpu():
         _pg.LOWER_GRAM = "on"
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    # Fail crisply if the remote TPU tunnel is dead (a hung worker makes
+    # the very first device op block forever — observed r3). A trivial
+    # op must complete within BENCH_DEVICE_TIMEOUT (default 300 s, which
+    # also covers slow backend bring-up) or we abort with a clear error
+    # instead of hanging the driver.
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _probe():
+        x = jnp.ones((8,), dtype) * 2.0
+        float(x[0])
+        probe_ok.set()
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300")))
+    if not probe_ok.is_set():
+        print(
+            json.dumps(
+                {
+                    "metric": "bayesgpr_fit_n500_d15_100walkers_300steps_wallclock",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": "device unreachable: first device op did not "
+                    "complete within BENCH_DEVICE_TIMEOUT (TPU tunnel hung?)",
+                }
+            )
+        )
+        sys.exit(2)
+
     kernel, data, log_prob, pos0 = build_north_star(dtype)
 
     # warmup/compile with the SAME static n_steps as the timed run.
