@@ -315,11 +315,14 @@ class PVRS(FullGPAcquisition):
 def _per_draw_body(rows, data, X, key, kernel, n_warp, white_idx, need_sample):
     """mu/std (and optional function draw) for each hyperposterior row.
 
-    Returns (S, m) arrays; one batched factorization for all draws.
+    Returns (S, m) arrays; one batched factorization for all draws, and
+    (on the TPU fast path) one fused Pallas program for all draws' grams
+    (:func:`bask_tpu.models.gp.fused_marginal_grams`).
     """
     keys = jax.random.split(key, rows.shape[0])
+    grams = gpc.fused_marginal_grams(kernel, rows, data, n_warp)
 
-    def one(x, k):
+    def one(x, k, Kp):
         if n_warp:
             theta_gp, la, lb = wpm.split_warp_params(x, n_warp)
             d = data._replace(X=wpm.warp(data.X, la, lb))
@@ -334,7 +337,7 @@ def _per_draw_body(rows, data, X, key, kernel, n_warp, white_idx, need_sample):
         # On f32 the blocked factorization also hands predict cached
         # block inverses, turning the per-draw candidate solve into
         # MXU matmuls.
-        post, invs = gpc.posterior_and_invs(kernel, theta_gp, d)
+        post, invs = gpc.posterior_and_invs(kernel, theta_gp, d, Kp=Kp)
         theta_nf = gpc.noise_free_theta(kernel, theta_gp, white_idx)
         mu, std = gpc.predict(
             kernel, theta_nf, post, d, Xq, return_std=True, invs=invs
@@ -347,7 +350,9 @@ def _per_draw_body(rows, data, X, key, kernel, n_warp, white_idx, need_sample):
             s = mu
         return mu, std, s
 
-    return jax.vmap(one)(rows, keys)
+    if grams is None:
+        return jax.vmap(lambda x, k: one(x, k, None))(rows, keys)
+    return jax.vmap(one)(rows, keys, grams)
 
 
 @partial(

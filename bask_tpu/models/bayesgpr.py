@@ -558,8 +558,9 @@ def _sample_y_marginal(
 ):
     """One predictive draw per hyperposterior row: (S, m)."""
     keys = jax.random.split(key, chain_rows.shape[0])
+    grams = gpc.fused_marginal_grams(kernel, chain_rows, data, n_warp)
 
-    def one(x, k):
+    def one(x, k, Kp):
         if n_warp:
             theta_gp, la, lb = wp.split_warp_params(x, n_warp)
             d = data._replace(X=wp.warp(data.X, la, lb))
@@ -571,7 +572,7 @@ def _sample_y_marginal(
         # vanishingly rare, and the ladder would triple the batched
         # factorization cost of every diagnostics/PVRS draw (the
         # acquisition path makes the same trade, acquisition.py)
-        post, invs = gpc.posterior_and_invs(kernel, theta_gp, d)
+        post, invs = gpc.posterior_and_invs(kernel, theta_gp, d, Kp=Kp)
         theta_diag = (
             theta_gp
             if include_noise
@@ -581,7 +582,9 @@ def _sample_y_marginal(
             kernel, theta_diag, post, d, Xq_w, k, 1, invs=invs
         )[:, 0]
 
-    return jax.vmap(one)(chain_rows, keys)
+    if grams is None:
+        return jax.vmap(lambda x, k: one(x, k, None))(chain_rows, keys)
+    return jax.vmap(one)(chain_rows, keys, grams)
 
 
 @partial(

@@ -184,3 +184,106 @@ def test_lower_gram_lml_identical(interpret_pallas, monkeypatch):
     lml_l = np.asarray(linalg.batched_lml_from_gram(Kl, jnp.asarray(y), mask))
     assert np.isfinite(lml_f).all()
     assert np.array_equal(lml_f, lml_l)
+
+
+class TestFusedMarginalGrams:
+    """gp.fused_marginal_grams — the batched gram precompute behind the
+    marginalized acquisition / sample_y paths — must equal the per-draw
+    vmapped masked_gram exactly where it engages, and stay off wherever
+    the fast path cannot apply."""
+
+    def _setup(self, n_warp=0):
+        from bask_tpu.models import gp as gpc
+
+        rng = np.random.RandomState(0)
+        n_pad, n_real, d, S = 64, 50, 3, 6
+        kernel = (
+            bk.ConstantKernel(1.0, (0.1, 2.0))
+            * bk.Matern((0.3,) * d, (0.05, 2.0), nu=2.5)
+            + bk.WhiteKernel(0.05, (1e-5, 1e5))
+        )
+        X = np.zeros((n_pad, d), np.float32)
+        X[:n_real] = rng.uniform(size=(n_real, d))
+        y = np.zeros(n_pad, np.float32)
+        y[:n_real] = rng.randn(n_real)
+        data = gpc.make_data(
+            jnp.asarray(X, jnp.float32),
+            jnp.asarray(y, jnp.float32),
+            jnp.full(n_pad, 1e-6, jnp.float32),
+            jnp.arange(n_pad) < n_real,
+        )
+        rows = jnp.asarray(
+            np.log(0.3) + 0.05 * rng.randn(S, kernel.n_theta + 2 * d * n_warp),
+            jnp.float32,
+        )
+        return gpc, kernel, data, rows
+
+    def test_matches_per_draw_masked_gram(self, interpret_pallas, monkeypatch):
+        from bask_tpu.ops import fast_cholesky as fc
+
+        gpc, kernel, data, rows = self._setup()
+        monkeypatch.setattr(fc, "is_tpu_like_backend", lambda: True)
+        grams = gpc.fused_marginal_grams(kernel, rows, data, 0)
+        assert grams is not None
+        ref = jax.vmap(
+            lambda t: linalg.masked_gram(
+                kernel, t, data.X, data.alpha_diag, data.mask
+            )
+        )(rows)
+        np.testing.assert_allclose(
+            np.asarray(grams), np.asarray(ref), atol=5e-6
+        )
+
+    def test_matches_per_draw_warped(self, interpret_pallas, monkeypatch):
+        from bask_tpu.ops import fast_cholesky as fc
+        from bask_tpu.models import warping as wp
+
+        n_warp = 3
+        gpc, kernel, data, rows = self._setup(n_warp=n_warp)
+        monkeypatch.setattr(fc, "is_tpu_like_backend", lambda: True)
+        grams = gpc.fused_marginal_grams(kernel, rows, data, n_warp)
+        assert grams is not None
+
+        def one(x):
+            theta_gp, la, lb = wp.split_warp_params(x, n_warp)
+            Xw = wp.warp(data.X, la, lb)
+            return linalg.masked_gram(
+                kernel, theta_gp, Xw, data.alpha_diag, data.mask
+            )
+
+        ref = jax.vmap(one)(rows)
+        np.testing.assert_allclose(
+            np.asarray(grams), np.asarray(ref), atol=5e-6
+        )
+
+    def test_off_on_cpu_f64_and_nonfusable(self, interpret_pallas, monkeypatch):
+        from bask_tpu.ops import fast_cholesky as fc
+
+        gpc, kernel, data, rows = self._setup()
+        # default backend (cpu) -> off
+        assert gpc.fused_marginal_grams(kernel, rows, data, 0) is None
+        monkeypatch.setattr(fc, "is_tpu_like_backend", lambda: True)
+        # f64 data -> off
+        data64 = data._replace(X=data.X.astype(jnp.float64))
+        assert gpc.fused_marginal_grams(kernel, rows, data64, 0) is None
+        # non-fusable kernel -> off
+        expk = bk.Exponentiation(
+            bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(0.3, (0.05, 2.0)), 2.0
+        )
+        rows2 = rows[:, : expk.n_theta]
+        assert gpc.fused_marginal_grams(expk, rows2, data, 0) is None
+
+    def test_posterior_and_invs_accepts_precomputed_gram(self):
+        from bask_tpu.ops import linalg as _lin
+
+        gpc, kernel, data, rows = self._setup()
+        theta = rows[0]
+        Kp = _lin.masked_gram(
+            kernel, theta, data.X, data.alpha_diag, data.mask
+        )
+        p0, i0 = gpc.posterior_and_invs(kernel, theta, data)
+        p1, i1 = gpc.posterior_and_invs(kernel, theta, data, Kp=Kp)
+        np.testing.assert_array_equal(np.asarray(p0.L), np.asarray(p1.L))
+        np.testing.assert_array_equal(
+            np.asarray(p0.alpha_dual), np.asarray(p1.alpha_dual)
+        )
