@@ -287,3 +287,33 @@ class TestFusedMarginalGrams:
         np.testing.assert_array_equal(
             np.asarray(p0.alpha_dual), np.asarray(p1.alpha_dual)
         )
+
+    def test_per_draw_predictions_end_to_end(
+        self, interpret_pallas, monkeypatch
+    ):
+        """The vmapped Kp plumbing (grams[i] -> posterior_and_invs) must
+        reproduce the gate-off per-draw predictions."""
+        import jax.random as jrandom
+
+        from bask_tpu import acquisition as acq
+        from bask_tpu.ops import fast_cholesky as fc
+
+        gpc, kernel, data, rows = self._setup()
+        key = jrandom.PRNGKey(0)
+
+        # gate off (CPU default): per-draw masked_gram
+        mu0, std0, _ = acq._per_draw_body(
+            rows, data, jnp.asarray(data.X[:7], jnp.float32), key,
+            kernel, 0, kernel.n_theta - 1, False,
+        )
+        monkeypatch.setattr(fc, "is_tpu_like_backend", lambda: True)
+        mu1, std1, _ = acq._per_draw_body(
+            rows, data, jnp.asarray(data.X[:7], jnp.float32), key,
+            kernel, 0, kernel.n_theta - 1, False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mu0), np.asarray(mu1), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(std0), np.asarray(std1), atol=2e-5
+        )
