@@ -116,6 +116,27 @@ def main():
 
         return jnp.sum(jax.vmap(one)(rows_i))
 
+    def gram_fused(rows_i):
+        """The production gram path since the fused-marginal-grams change:
+        ONE Pallas program for all draws (None on CPU — TPU harness)."""
+        G = gpc.fused_marginal_grams(kernel, rows_i, data, 0)
+        assert G is not None
+        return jnp.sum(G)
+
+    def gram_chol_fused(rows_i):
+        grams = gpc.fused_marginal_grams(kernel, rows_i, data, 0)
+        assert grams is not None
+
+        def one(t, Kp):
+            post, invs = gpc.posterior_and_invs(kernel, t, data, Kp=Kp)
+            s = jnp.sum(post.L) + jnp.sum(post.alpha_dual)
+            if invs is not None:
+                for iv in invs:
+                    s = s + jnp.sum(iv)
+            return s
+
+        return jnp.sum(jax.vmap(one)(rows_i, grams))
+
     def full(rows_i):
         mu, std, _ = _per_draw_predictions(
             rows_i, data, Xc, key,
@@ -126,7 +147,9 @@ def main():
 
     fn = {
         "gram": gram_only,
+        "gram-fused": gram_fused,
         "chol": gram_chol,
+        "chol-fused": gram_chol_fused,
         "mu": mu_only,
         "mustd": mu_std,
         "mustd-high": mu_std_high,
