@@ -102,6 +102,14 @@ def fused_marginal_grams(kernel, rows, data: GPData, n_warp: int):
     parameters: the per-draw warped ``X`` feeds the kernel's per-walker
     X mode. Callers still re-warp inside their per-draw body for the
     cross-gram — that VPU recompute is negligible next to the gram.
+
+    Sharded-candidate note: under ``shard_candidates`` GSPMD partitions
+    the downstream cross-gram/predict over the candidate axis, while
+    this precompute's operands (rows, training X) are replicated — the
+    pallas custom call therefore stays replicated per device, the same
+    redundancy the vmapped per-draw gram had (no sharded operand feeds
+    the kernel, unlike the walker-sharded chain, which needs the
+    explicit shard_map in ``batched_lml``).
     """
     from ..ops import pallas_gram as _pg
     from ..ops.fast_cholesky import is_tpu_like_backend
