@@ -86,6 +86,27 @@ def _use_pallas_base(A) -> bool:
     return is_tpu_like_backend()
 
 
+# Whole-panel Pallas kernel (pallas_chol_panel.py): factorizes an entire
+# <=256-wide panel (chol + inverse) in ONE program instead of chaining
+# per-32-base programs with XLA glue matmuls between them. Same gate
+# semantics as PALLAS_BASE ("auto"/"on"/"off"); "auto" follows
+# _use_pallas_base.
+PALLAS_PANEL = "auto"
+
+
+def _use_pallas_panel(A) -> bool:
+    n = A.shape[-1]
+    if n % 32 != 0 or PALLAS_PANEL == "off":
+        return False
+    from .pallas_chol_panel import PANEL_MAX
+
+    if n > PANEL_MAX:
+        return False
+    if PALLAS_PANEL == "on":
+        return A.dtype == jnp.float32
+    return _use_pallas_base(A)
+
+
 def _unrolled_chol(A):
     """Right-looking Cholesky with every step unrolled at trace time.
 
@@ -151,6 +172,10 @@ def _chol_inv_recursive(A):
             return chol_inv_base(A)
         L = _base_chol(A)
         return L, tri_newton_inv(L, n)
+    if _use_pallas_panel(A):
+        from .pallas_chol_panel import chol_inv_panel
+
+        return chol_inv_panel(A)
     h = n // 2
     A11 = A[..., :h, :h]
     A21 = A[..., h:, :h]

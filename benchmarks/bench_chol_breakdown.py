@@ -65,11 +65,33 @@ def main():
     elif variant == "panelp":
         # panel recursion with the pallas base
         fc.PALLAS_BASE = "on"
+        fc.PALLAS_PANEL = "off"
         A = jnp.asarray(_pd(rng, 128), dtype=jnp.float32)
 
         def op(A):
             L, inv = fc._chol_inv_recursive(A)
             return L[0, 0, 0] + inv[-1, -1, -1]
+
+    elif variant.startswith("ppanel"):
+        # whole-panel pallas kernel at size m: "ppanel128"
+        from bask_tpu.ops.pallas_chol_panel import chol_inv_panel
+
+        m = int(variant[len("ppanel"):])
+        A = jnp.asarray(_pd(rng, m), dtype=jnp.float32)
+
+        def op(A):
+            L, X = chol_inv_panel(A)
+            return L[0, 0, 0] + X[-1, -1, -1]
+
+    elif variant in ("full-panel", "full-nopanel"):
+        # the full (50,512,512) factorization, panel kernel A/B
+        fc.PALLAS_BASE = "on"
+        fc.PALLAS_PANEL = "on" if variant == "full-panel" else "off"
+        A = jnp.asarray(_pd(rng, N, w=50), dtype=jnp.float32)
+
+        def op(A):
+            L, invs = fc.block_cholesky(A, nb=128)
+            return L[0, 0, 0] + invs[-1][-1, -1, -1]
 
     elif variant in ("w100-pallas", "w100-xla"):
         fc.PALLAS_BASE = "on" if variant == "w100-pallas" else "off"
