@@ -48,8 +48,11 @@ PANEL_MAX = 256
 # Walkers per grid program, by panel width. VMEM per program is roughly
 # (in + L + X + trailing temps) ≈ 5 · wb · P² · 4 B plus double-buffered
 # in/out blocks on multi-program grids — conservative defaults, tuned on
-# hardware via these module switches.
+# hardware via these module switches. Widths past 256 (reachable only by
+# raising PANEL_MAX — an experiment knob, not the default route) get the
+# 1-walker fallback.
 _WB_BY_P = {32: 32, 64: 16, 96: 16, 128: 8, 160: 4, 192: 4, 224: 4, 256: 4}
+_WB_FALLBACK = 1
 
 
 def _mm(a, b):
@@ -193,10 +196,10 @@ def _panel_batched_rule(axis_size, in_batched, A):
 def _panel_impl(A, interpret: bool):
     batch = A.shape[:-2]
     P = A.shape[-1]
-    assert P % _BLK == 0 and P <= PANEL_MAX, (P, PANEL_MAX)
+    assert P % _BLK == 0, P
     B = math.prod(batch) if batch else 1
     A2 = A.reshape(B, P, P)
-    wb = min(_WB_BY_P[P], B) or 1
+    wb = min(_WB_BY_P.get(P, _WB_FALLBACK), B) or 1
     nblk = -(-B // wb)
     pad = nblk * wb - B
     if pad:

@@ -93,6 +93,20 @@ def main():
             L, invs = fc.block_cholesky(A, nb=128)
             return L[0, 0, 0] + invs[-1][-1, -1, -1]
 
+    elif variant == "full-panel512":
+        # EXPERIMENT: the whole (512,512) matrix as ONE panel program per
+        # wb walkers (raises the PANEL_MAX knob; compile may be slow)
+        from bask_tpu.ops import pallas_chol_panel as pcp
+
+        fc.PALLAS_BASE = "on"
+        fc.PALLAS_PANEL = "on"
+        pcp.PANEL_MAX = 512
+        A = jnp.asarray(_pd(rng, N, w=50), dtype=jnp.float32)
+
+        def op(A):
+            L, invs = fc.block_cholesky(A, nb=512)
+            return L[0, 0, 0] + invs[-1][-1, -1, -1]
+
     elif variant in ("w100-pallas", "w100-xla"):
         fc.PALLAS_BASE = "on" if variant == "w100-pallas" else "off"
         A = jnp.asarray(_pd(rng, N, w=100), dtype=jnp.float32)
