@@ -246,7 +246,10 @@ def block_cholesky(A, nb: int | None = None):
     n = A.shape[-1]
     if nb is None:
         nb = pick_nb(n)
-    if n <= nb:
+    if n <= nb or _use_pallas_panel(A):
+        # whole matrix in one recursion — including any n <= PANEL_MAX
+        # on the panel-kernel path (one program beats paneling + glue;
+        # e.g. bucket-192/256 fits become single-program factorizations)
         L, L_inv = _chol_inv_recursive(A)
         return L, [L_inv]
     M = A

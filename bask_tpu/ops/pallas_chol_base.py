@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["chol_inv_base"]
+__all__ = ["chol_inv_base", "chol_inv_steps", "pad_to_blocks"]
 
 # Walkers per grid program. Scoped-VMEM bound (measured v5e): the
 # unrolled step chain keeps ~15 live (wb, m, 128-lane) f32 arrays, and
@@ -48,8 +48,15 @@ _WB_SINGLE = 64
 _WB_GRID = 32
 
 
-def _chol_inv_kernel(a_ref, l_ref, x_ref):
-    M = a_ref[...]  # (wb, m, m)
+def chol_inv_steps(M):
+    """(wb, m, m) -> (L, X=L^-1): the fully-unrolled right-looking step
+    chain (masked-iota pivot extraction, no dynamic lane slices).
+
+    Pure value-in/value-out so it is shared VERBATIM by this kernel and
+    the whole-panel kernel's diagonal blocks
+    (:mod:`pallas_chol_panel`) — a numerics or Mosaic-lowering change
+    here changes both in lockstep.
+    """
     m = M.shape[1]
     dt = M.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
@@ -73,6 +80,24 @@ def _chol_inv_kernel(a_ref, l_ref, x_ref):
         if j + 1 < m:
             M = M - col * jnp.swapaxes(col, 1, 2)
             R = R - jnp.where(sub > j, col, 0.0) * xrow
+    return L, X
+
+
+def pad_to_blocks(A2, wb: int):
+    """Pad a flattened (B, m, m) batch to a wb multiple with identity
+    blocks (PD, so no spurious NaNs). Returns (padded, n_blocks)."""
+    B, m, _ = A2.shape
+    nblk = -(-B // wb)
+    pad = nblk * wb - B
+    if pad:
+        A2 = jnp.concatenate(
+            [A2, jnp.broadcast_to(jnp.eye(m, dtype=A2.dtype), (pad, m, m))]
+        )
+    return A2, nblk
+
+
+def _chol_inv_kernel(a_ref, l_ref, x_ref):
+    L, X = chol_inv_steps(a_ref[...])
     l_ref[...] = L
     x_ref[...] = X
 
@@ -129,18 +154,7 @@ def _chol_inv_impl(A, interpret: bool):
         wb, nblk = B, 1
     else:
         wb = _WB_GRID
-        nblk = -(-B // wb)
-        pad = nblk * wb - B
-        if pad:
-            # pad with identity blocks: PD, so no spurious NaNs
-            A2 = jnp.concatenate(
-                [
-                    A2,
-                    jnp.broadcast_to(
-                        jnp.eye(m, dtype=A.dtype), (pad, m, m)
-                    ),
-                ]
-            )
+        A2, nblk = pad_to_blocks(A2, wb)
     spec = pl.BlockSpec((wb, m, m), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     L2, X2 = pl.pallas_call(
         _chol_inv_kernel,

@@ -76,30 +76,10 @@ def _mmT(a, b):
     )
 
 
-def _chol_inv_block32(M):
-    """(wb, m, m) -> (L, X=L^-1): the base kernel's unrolled step chain."""
-    m = M.shape[1]
-    dt = M.dtype
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
-    L = jnp.zeros(M.shape, dt)
-    X = jnp.zeros(M.shape, dt)
-    R = jnp.broadcast_to((lane == sub).astype(dt), M.shape)
-    for j in range(m):
-        cm = lane == j
-        rm = sub == j
-        dcol = jnp.sum(jnp.where(cm, M, 0.0), axis=2, keepdims=True)
-        dj = jnp.sum(jnp.where(rm, dcol, 0.0), axis=1, keepdims=True)
-        inv_s = jax.lax.rsqrt(dj)  # NaN on non-PD, by design
-        col = jnp.where(sub >= j, dcol * inv_s, 0.0)
-        L = L + jnp.where(cm, col, 0.0)
-        rrow = jnp.sum(jnp.where(rm, R, 0.0), axis=1, keepdims=True)
-        xrow = rrow * inv_s
-        X = X + jnp.where(rm, xrow, 0.0)
-        if j + 1 < m:
-            M = M - col * jnp.swapaxes(col, 1, 2)
-            R = R - jnp.where(sub > j, col, 0.0) * xrow
-    return L, X
+# the 32-step diagonal-block factorization is SHARED with the base
+# kernel (single implementation of the numerics; see its docstring)
+from .pallas_chol_base import chol_inv_steps as _chol_inv_block32  # noqa: E402
+from .pallas_chol_base import pad_to_blocks as _pad_to_blocks  # noqa: E402
 
 
 def _panel_kernel(a_ref, l_ref, x_ref):
@@ -200,13 +180,7 @@ def _panel_impl(A, interpret: bool):
     B = math.prod(batch) if batch else 1
     A2 = A.reshape(B, P, P)
     wb = min(_WB_BY_P.get(P, _WB_FALLBACK), B) or 1
-    nblk = -(-B // wb)
-    pad = nblk * wb - B
-    if pad:
-        # identity blocks: PD, no spurious NaNs
-        A2 = jnp.concatenate(
-            [A2, jnp.broadcast_to(jnp.eye(P, dtype=A.dtype), (pad, P, P))]
-        )
+    A2, nblk = _pad_to_blocks(A2, wb)
     spec = pl.BlockSpec(
         (wb, P, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )

@@ -109,6 +109,7 @@ def main():
 
     elif variant in ("w100-pallas", "w100-xla"):
         fc.PALLAS_BASE = "on" if variant == "w100-pallas" else "off"
+        fc.PALLAS_PANEL = "off"  # measure the BASE chain, not the panel
         A = jnp.asarray(_pd(rng, N, w=100), dtype=jnp.float32)
 
         def op(A):
@@ -117,6 +118,7 @@ def main():
 
     elif variant in ("b1-pallas", "b1-xla"):
         fc.PALLAS_BASE = "on" if variant == "b1-pallas" else "off"
+        fc.PALLAS_PANEL = "off"
         A = jnp.asarray(_pd(rng, N, w=1), dtype=jnp.float32)
 
         def op(A):
@@ -125,6 +127,7 @@ def main():
 
     elif variant == "fullp64":
         fc.PALLAS_BASE = "on"
+        fc.PALLAS_PANEL = "off"
         fc._BASE = 64
         A = jnp.asarray(_pd(rng, N), dtype=jnp.float32)
 
@@ -134,6 +137,7 @@ def main():
 
     elif variant == "fullp":
         fc.PALLAS_BASE = "on"
+        fc.PALLAS_PANEL = "off"
         A = jnp.asarray(_pd(rng, N), dtype=jnp.float32)
 
         def op(A):

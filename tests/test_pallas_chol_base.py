@@ -109,3 +109,26 @@ def test_cpu_backend_keeps_xla_base():
     A = _spd_batch(np.random.RandomState(4), 2, 32)
     assert fc.PALLAS_BASE == "auto"
     assert not fc._use_pallas_base(A)
+
+
+def test_custom_vmap_rule(monkeypatch):
+    """Same contract as the panel kernel's rule test: vmap axes fold
+    into the grid flattening; in_axes=None broadcasts one result."""
+    orig = pcb._chol_inv_impl
+    monkeypatch.setattr(pcb, "_chol_inv_impl", lambda a, interp: orig(a, True))
+    try:
+        rng = np.random.RandomState(6)
+        A = _spd_batch(rng, 6, 32).reshape(2, 3, 32, 32)
+        Lv, Xv = jax.vmap(pcb.chol_inv_base)(A)
+        Ld, Xd = orig(A, True)
+        assert np.array_equal(np.asarray(Lv), np.asarray(Ld))
+        assert np.array_equal(np.asarray(Xv), np.asarray(Xd))
+
+        A1 = A[0]
+        Lb, _ = jax.vmap(
+            lambda _, a: pcb.chol_inv_base(a), in_axes=(0, None)
+        )(jnp.arange(4), A1)
+        assert Lb.shape == (4, 3, 32, 32)
+        assert np.array_equal(np.asarray(Lb[0]), np.asarray(Ld[0]))
+    finally:
+        jax.clear_caches()

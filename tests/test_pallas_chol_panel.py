@@ -123,3 +123,31 @@ def test_gates():
         assert not fc._use_pallas_panel(Aragged)  # not a 32-multiple
     finally:
         fc.PALLAS_PANEL = "auto"
+
+
+def test_custom_vmap_rule(monkeypatch):
+    """The custom batching rule must fold vmap axes into the kernel's
+    leading-dim flattening (and broadcast the in_axes=None case). The
+    interpret= entry short-circuits the rule, so redirect the impl to
+    the interpreter and drive the NON-interpret entry under vmap."""
+    orig = pcp._panel_impl
+    monkeypatch.setattr(pcp, "_panel_impl", lambda a, interp: orig(a, True))
+    try:
+        rng = np.random.RandomState(5)
+        A = _spd_batch(rng, 6, 64).reshape(2, 3, 64, 64)
+        Lv, Xv = jax.vmap(pcp.chol_inv_panel)(A)
+        Ld, Xd = orig(A, True)
+        assert Lv.shape == (2, 3, 64, 64)
+        assert np.array_equal(np.asarray(Lv), np.asarray(Ld))
+        assert np.array_equal(np.asarray(Xv), np.asarray(Xd))
+
+        # in_axes=None: ONE factorization, broadcast outputs
+        A1 = A[0]
+        Lb, Xb = jax.vmap(
+            lambda _, a: pcp.chol_inv_panel(a), in_axes=(0, None)
+        )(jnp.arange(4), A1)
+        assert Lb.shape == (4, 3, 64, 64)
+        assert np.array_equal(np.asarray(Lb[0]), np.asarray(Lb[3]))
+        assert np.array_equal(np.asarray(Lb[0]), np.asarray(Ld[0]))
+    finally:
+        jax.clear_caches()  # drop entries traced with the patched impl
