@@ -88,10 +88,14 @@ def _use_pallas_base(A) -> bool:
 
 # Whole-panel Pallas kernel (pallas_chol_panel.py): factorizes an entire
 # <=256-wide panel (chol + inverse) in ONE program instead of chaining
-# per-32-base programs with XLA glue matmuls between them. Same gate
-# semantics as PALLAS_BASE ("auto"/"on"/"off"); "auto" follows
-# _use_pallas_base.
-PALLAS_PANEL = "auto"
+# per-32-base programs with XLA glue matmuls between them. Gate
+# semantics like PALLAS_BASE ("auto"/"on"/"off"); "auto" follows
+# _use_pallas_base. DEFAULT OFF until hardware-validated: the kernel's
+# in-kernel 32-offset minor-dim slices are a Mosaic-lowering risk the
+# CPU interpreter cannot check, and an unvalidated auto-on kernel on
+# the chain's critical path could break every TPU fit (flip to "auto"
+# once the queued v5e A/B has run).
+PALLAS_PANEL = "off"
 
 
 def _use_pallas_panel(A) -> bool:

@@ -112,17 +112,20 @@ def test_gates():
     A64 = jnp.eye(128, dtype=jnp.float64)[None]
     Abig = jnp.eye(512, dtype=jnp.float32)[None]
     Aragged = jnp.eye(40, dtype=jnp.float32)[None]
-    assert fc.PALLAS_PANEL == "auto"
-    # auto on CPU -> off
+    # default OFF until the queued hardware A/B validates the Mosaic
+    # lowering (see fast_cholesky.PALLAS_PANEL comment)
+    assert fc.PALLAS_PANEL == "off"
     assert not fc._use_pallas_panel(A32)
     try:
+        fc.PALLAS_PANEL = "auto"  # auto on CPU -> off
+        assert not fc._use_pallas_panel(A32)
         fc.PALLAS_PANEL = "on"
         assert fc._use_pallas_panel(A32)
         assert not fc._use_pallas_panel(A64)  # f64 stays XLA
         assert not fc._use_pallas_panel(Abig)  # > PANEL_MAX
         assert not fc._use_pallas_panel(Aragged)  # not a 32-multiple
     finally:
-        fc.PALLAS_PANEL = "auto"
+        fc.PALLAS_PANEL = "off"
 
 
 def test_custom_vmap_rule(monkeypatch):
