@@ -1019,10 +1019,11 @@ class BayesGPR:
         return tuple(self._traceable_or_host(p) for p in priors)
 
     def _traceable_or_host(self, p, joint: bool = False):
-        """Return ``p`` if it traces under JAX, else a cached
-        ``pure_callback`` adapter (reference users pass NumPy/SciPy
-        priors, ``bask/bayesgpr.py:368-372`` — those must keep working,
-        at host-round-trip cost)."""
+        """Return ``p`` if it traces under JAX, else an exact on-device
+        lift for recognized frozen ``scipy.stats`` log-densities, else a
+        cached ``pure_callback`` adapter (reference users pass NumPy/
+        SciPy priors, ``bask/bayesgpr.py:368-372`` — those must keep
+        working, at host-round-trip cost)."""
         shape = (self._spec.n_theta,) if joint else ()
         try:
             jax.eval_shape(p, jax.ShapeDtypeStruct(shape, self._dtype()))
@@ -1037,11 +1038,26 @@ class BayesGPR:
         if cached is not None:
             cache.move_to_end(p)
             return cached
+        if not joint:
+            # e.g. priors=[halfnorm(scale=2).logpdf, ...]: rebuild the
+            # exact density in jnp so the chain stays callback-free
+            # (works on backends that reject host callbacks).
+            from ..utils.scipy_lift import lift_scipy_prior
+
+            lifted = lift_scipy_prior(p)
+            if lifted is not None:
+                if cache is not None:
+                    cache[p] = lifted
+                    while len(cache) > _HOST_PRIOR_CACHE_MAX:
+                        cache.popitem(last=False)
+                return lifted
         warnings.warn(
             "A gp prior is not JAX-traceable and will run through a host "
             "callback each MCMC step — functional, but slow on TPU. "
-            "Write priors with jax.numpy (see bask_tpu.utils.priors) for "
-            "full on-device speed.",
+            "Write priors with jax.numpy (see bask_tpu.utils.priors), or "
+            "pass a frozen scipy distribution's logpdf directly (common "
+            "families are lifted to exact on-device code), for full "
+            "on-device speed.",
             UserWarning,
             stacklevel=3,
         )

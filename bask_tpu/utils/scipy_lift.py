@@ -1,0 +1,298 @@
+"""Lift frozen ``scipy.stats`` log-densities into traceable jnp code.
+
+The reference accepts arbitrary callables as hyperparameter priors
+(``/root/reference/bask/bayesgpr.py:368-372``); its tutorials build them
+from ``scipy.stats``. bask-tpu runs the whole MCMC chain in one jitted
+program, so a SciPy callable normally rides a ``jax.pure_callback`` host
+adapter — a host round-trip per chain step, and dead on backends that
+reject callbacks (the axon TPU tunnel).
+
+This module recognizes the directly-liftable case: the prior *is* a
+frozen scipy distribution's ``logpdf``/``pdf`` bound method (or the
+distribution family's, with default loc/scale), e.g.::
+
+    priors = [halfnorm(scale=2).logpdf, norm(-1.0, 0.5).logpdf, ...]
+
+and returns an exact jnp reimplementation of the same density, so the
+chain stays fully on device. Every lift is verified numerically against
+the SciPy callable at probe points (via a NumPy instantiation of the
+same formula — no device execution at lift time) before being trusted;
+any surprise (unknown family, parse failure, value mismatch) returns
+``None`` and the caller falls back to the host-callback path. Lambdas
+that *wrap* scipy calls are opaque to introspection and keep using the
+callback adapter.
+
+Support-boundary note: outside-support inputs map to ``-inf`` exactly
+like scipy; *on* a closed boundary point (e.g. ``uniform`` at ``loc``,
+``beta`` at 0/1 with unit shape) values may differ at that measure-zero
+point — irrelevant for continuous MCMC.
+"""
+
+import math
+
+import numpy as np
+from scipy.special import betaln as _h_betaln
+from scipy.special import gammaln as _h_gammaln
+
+__all__ = ["lift_scipy_prior"]
+
+_SQRT2PI_LOG = 0.5 * math.log(2.0 * math.pi)
+
+
+def _norm(shapes, loc, scale, xp):
+    def logpdf(x):
+        y = (x - loc) / scale
+        return -0.5 * y * y - _SQRT2PI_LOG - math.log(scale)
+
+    return logpdf
+
+
+def _halfnorm(shapes, loc, scale, xp):
+    const = 0.5 * math.log(2.0 / math.pi) - math.log(scale)
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        return xp.where(y >= 0, const - 0.5 * y * y, -xp.inf)
+
+    return logpdf
+
+
+def _uniform(shapes, loc, scale, xp):
+    def logpdf(x):
+        inside = (x >= loc) & (x <= loc + scale)
+        return xp.where(inside, -math.log(scale), -xp.inf)
+
+    return logpdf
+
+
+def _expon(shapes, loc, scale, xp):
+    def logpdf(x):
+        y = (x - loc) / scale
+        return xp.where(y >= 0, -y - math.log(scale), -xp.inf)
+
+    return logpdf
+
+
+def _gamma(shapes, loc, scale, xp):
+    (a,) = shapes
+    const = -float(_h_gammaln(a)) - math.log(scale)
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        ysafe = xp.where(y > 0, y, 1.0)
+        val = (a - 1.0) * xp.log(ysafe) - ysafe + const
+        return xp.where(y > 0, val, -xp.inf)
+
+    return logpdf
+
+
+def _invgamma(shapes, loc, scale, xp):
+    (a,) = shapes
+    const = -float(_h_gammaln(a)) - math.log(scale)
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        ysafe = xp.where(y > 0, y, 1.0)
+        val = -(a + 1.0) * xp.log(ysafe) - 1.0 / ysafe + const
+        return xp.where(y > 0, val, -xp.inf)
+
+    return logpdf
+
+
+def _lognorm(shapes, loc, scale, xp):
+    (s,) = shapes
+    const = -math.log(s) - _SQRT2PI_LOG - math.log(scale)
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        ysafe = xp.where(y > 0, y, 1.0)
+        ly = xp.log(ysafe)
+        val = -ly * ly / (2.0 * s * s) - ly + const
+        return xp.where(y > 0, val, -xp.inf)
+
+    return logpdf
+
+
+def _beta(shapes, loc, scale, xp):
+    a, b = shapes
+    const = -float(_h_betaln(a, b)) - math.log(scale)
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        inside = (y > 0) & (y < 1)
+        ysafe = xp.where(inside, y, 0.5)
+        val = (
+            (a - 1.0) * xp.log(ysafe)
+            + (b - 1.0) * xp.log1p(-ysafe)
+            + const
+        )
+        return xp.where(inside, val, -xp.inf)
+
+    return logpdf
+
+
+def _cauchy(shapes, loc, scale, xp):
+    const = -math.log(math.pi) - math.log(scale)
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        return -xp.log1p(y * y) + const
+
+    return logpdf
+
+
+def _laplace(shapes, loc, scale, xp):
+    const = -math.log(2.0) - math.log(scale)
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        return -xp.abs(y) + const
+
+    return logpdf
+
+
+def _logistic(shapes, loc, scale, xp):
+    def logpdf(x):
+        y = (x - loc) / scale
+        ay = xp.abs(y)
+        return -ay - 2.0 * xp.log1p(xp.exp(-ay)) - math.log(scale)
+
+    return logpdf
+
+
+def _t(shapes, loc, scale, xp):
+    (df,) = shapes
+    const = (
+        float(_h_gammaln(0.5 * (df + 1.0)) - _h_gammaln(0.5 * df))
+        - 0.5 * math.log(df * math.pi)
+        - math.log(scale)
+    )
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        return const - 0.5 * (df + 1.0) * xp.log1p(y * y / df)
+
+    return logpdf
+
+
+def _chi2(shapes, loc, scale, xp):
+    (df,) = shapes
+    const = (
+        -float(_h_gammaln(0.5 * df))
+        - 0.5 * df * math.log(2.0)
+        - math.log(scale)
+    )
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        ysafe = xp.where(y > 0, y, 1.0)
+        val = (0.5 * df - 1.0) * xp.log(ysafe) - 0.5 * ysafe + const
+        return xp.where(y > 0, val, -xp.inf)
+
+    return logpdf
+
+
+_FAMILIES = {
+    "norm": (_norm, 0),
+    "halfnorm": (_halfnorm, 0),
+    "uniform": (_uniform, 0),
+    "expon": (_expon, 0),
+    "gamma": (_gamma, 1),
+    "invgamma": (_invgamma, 1),
+    "lognorm": (_lognorm, 1),
+    "beta": (_beta, 2),
+    "cauchy": (_cauchy, 0),
+    "laplace": (_laplace, 0),
+    "logistic": (_logistic, 0),
+    "t": (_t, 1),
+    "chi2": (_chi2, 1),
+}
+
+
+def _resolve_dist(p):
+    """Return ``(family, shapes, loc, scale, scipy_logpdf)`` for a
+    recognized bound method, else ``None``."""
+    name = getattr(p, "__name__", None)
+    owner = getattr(p, "__self__", None)
+    if owner is None or name not in ("logpdf", "pdf"):
+        return None
+    try:
+        from scipy.stats._distn_infrastructure import (
+            rv_continuous,
+            rv_continuous_frozen,
+        )
+    except Exception:  # pragma: no cover - scipy always present here
+        return None
+
+    if isinstance(owner, rv_continuous_frozen):
+        dist, args, kwds = owner.dist, owner.args, owner.kwds
+    elif isinstance(owner, rv_continuous):
+        dist, args, kwds = owner, (), {}
+    else:
+        return None
+    family = getattr(dist, "name", None)
+    if family not in _FAMILIES:
+        return None
+    try:
+        shapes, loc, scale = dist._parse_args(*args, **kwds)
+        shapes = tuple(float(s) for s in shapes)
+        loc, scale = float(loc), float(scale)
+    except Exception:
+        return None  # array-valued params: elementwise priors are scalar
+    if not (scale > 0.0 and np.isfinite(loc) and np.isfinite(scale)):
+        return None
+    if not all(np.isfinite(s) for s in shapes):
+        return None
+    ref = owner.logpdf if isinstance(owner, rv_continuous_frozen) else p
+    return family, shapes, loc, scale, ref
+
+
+def lift_scipy_prior(p):
+    """Return a jnp-traceable log-density equal to ``p``, or ``None``.
+
+    ``p`` must be the ``logpdf`` (or ``pdf``) bound method of a frozen
+    ``scipy.stats`` continuous distribution from a supported family.
+    The lift is verified numerically against ``p`` at probe points
+    inside the support (on host, in NumPy); on any mismatch it is
+    rejected and the caller should fall back to the callback adapter.
+    """
+    resolved = _resolve_dist(p)
+    if resolved is None:
+        return None
+    family, shapes, loc, scale, ref_logpdf = resolved
+    builder, n_shapes = _FAMILIES[family]
+    if len(shapes) != n_shapes:
+        return None
+    try:
+        logpdf_np = builder(shapes, loc, scale, np)
+    except Exception:
+        return None
+
+    # Probe points inside the support of every supported family
+    # ([loc, loc+scale] is the tightest: uniform/beta).
+    probes = np.asarray(
+        [loc + 0.2 * scale, loc + 0.5 * scale, loc + 0.8 * scale]
+    )
+    try:
+        got = np.asarray(logpdf_np(probes), dtype=np.float64)
+        want = np.asarray(ref_logpdf(probes), dtype=np.float64)
+    except Exception:
+        return None
+    if got.shape != want.shape or not np.allclose(
+        got, want, rtol=1e-10, atol=1e-12
+    ):
+        return None
+
+    import jax.numpy as jnp
+
+    logpdf = builder(shapes, loc, scale, jnp)
+    if p.__name__ == "pdf":
+        base = logpdf
+
+        def lifted(x):
+            return jnp.exp(base(x))
+
+    else:
+        lifted = logpdf
+    lifted.__wrapped_scipy__ = (family, shapes, loc, scale, p.__name__)
+    return lifted
