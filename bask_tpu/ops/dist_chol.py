@@ -1,0 +1,218 @@
+"""Row-sharded distributed Cholesky + log-marginal-likelihood.
+
+Walker-axis sharding (``batched_lml(mesh=)``) scales the MCMC ensemble
+across devices, but every device still materializes whole (n_pad,
+n_pad) grams — past n≈46k a single f32 gram alone exceeds a 16 GB
+chip. This module shards ONE factorization across the mesh by block
+row: each device holds an (n_loc, n) strip of the masked gram (built
+locally from the replicated (n, d) inputs — the full matrix never
+exists anywhere), and a blocked right-looking Cholesky sweeps panels
+with two collectives per step:
+
+* a ``psum``-broadcast of the current (nb, nb) diagonal block and y
+  block (owner contributes, everyone factorizes the tiny block
+  redundantly — cheaper than shipping the factor), and
+* an ``all_gather`` of the (n, nb) panel for the trailing Schur update
+  (each device updates only its own strip: ``n³/P`` flops per device).
+
+The forward solve ``L⁻¹y`` is interleaved with the factorization (the
+y strip is updated like an extra trailing column), so the LML needs no
+separate distributed triangular solve. On multi-chip hardware the
+per-step all-gather rides ICI; comm volume is O(n²) total against
+O(n³/P) compute.
+
+Masking follows :mod:`bask_tpu.ops.linalg` exactly (identity rows for
+padded points, zero-padded ``y``): padded blocks factorize to identity
+and contribute nothing, so the sharded LML equals the unpadded LML.
+Non-PD grams produce NaNs that propagate to a ``-inf`` LML, matching
+the reference's ValueError→-inf semantics
+(``/root/reference/bask/bayesgpr.py:373-379``).
+
+The reference has no distributed execution at all (single-process
+NumPy, SURVEY §2 absent-rows); this is the TPU-native scaling path for
+n beyond one chip's HBM. Known headroom: the trailing update computes
+the full (n_loc, n) rectangle each step (~2× the trapezoid flops) —
+acceptable for a capability path; tighten with two-level blocking if
+it ever dominates.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+from jax.sharding import PartitionSpec as P
+
+__all__ = ["row_sharded_lml", "row_sharded_lml_batch", "pick_row_nb"]
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+def pick_row_nb(n_loc: int, nb: int = 256) -> int:
+    """Largest panel width ≤ ``nb`` that divides the local row count."""
+    nb = min(nb, n_loc)
+    while n_loc % nb:
+        nb -= 1
+    return nb
+
+
+def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
+    """shard_map body: one device's strip of the factorization."""
+    n = X.shape[0]
+    n_loc = n // P_sz
+    p = lax.axis_index(ax)
+    r0 = p * n_loc
+
+    # --- local strip of the masked gram (identity rows for padding) ---
+    X_loc = lax.dynamic_slice_in_dim(X, r0, n_loc, 0)
+    mask_loc = lax.dynamic_slice_in_dim(mask, r0, n_loc, 0)
+    alpha_loc = lax.dynamic_slice_in_dim(alpha_diag, r0, n_loc, 0)
+    y_loc = lax.dynamic_slice_in_dim(y, r0, n_loc, 0)
+
+    rows_g = r0 + jnp.arange(n_loc)
+    cols_g = jnp.arange(n)
+
+    Ks = kernel.eval(theta, X_loc, X)  # cross form: White contributes 0
+    m2 = mask_loc[:, None] & mask[None, :]
+    K_loc = jnp.where(m2, Ks, 0.0)
+    diag_sel = cols_g[None, :] == rows_g[:, None]
+    dvals = jnp.where(
+        mask_loc, kernel.diag(theta, X_loc) + alpha_loc, 1.0
+    )
+    K_loc = jnp.where(diag_sel, dvals[:, None], K_loc)
+
+    # --- blocked right-looking sweep with the y-solve interleaved ---
+    eye_nb = jnp.eye(nb, dtype=K_loc.dtype)
+    steps = n // nb
+
+    def step(k, carry):
+        K_loc, y_loc, quad, logdet = carry
+        # int32 throughout: axis_index is int32, the fori_loop counter
+        # is int64 under x64 — dynamic_slice requires matching types
+        row0 = (k * nb).astype(jnp.int32)
+        owner = row0 // n_loc
+        is_owner = p == owner
+        loc0 = jnp.clip(row0 - r0, 0, n_loc - nb).astype(jnp.int32)
+
+        Akk = lax.psum(
+            jnp.where(
+                is_owner,
+                lax.dynamic_slice(K_loc, (loc0, row0), (nb, nb)),
+                0.0,
+            ),
+            ax,
+        )
+        yk = lax.psum(
+            jnp.where(
+                is_owner,
+                lax.dynamic_slice(y_loc, (loc0,), (nb,)),
+                0.0,
+            ),
+            ax,
+        )
+        # tiny block: every device factorizes redundantly
+        Lkk = jnp.linalg.cholesky(Akk)
+        zk = solve_triangular(Lkk, yk, lower=True)
+        LinvT = solve_triangular(Lkk, eye_nb, lower=True).T
+
+        # local panel rows strictly below the diagonal block
+        Cl = lax.dynamic_slice(K_loc, (jnp.int32(0), row0), (n_loc, nb))
+        Pl = jnp.matmul(Cl, LinvT, precision=lax.Precision.HIGHEST)
+        below = rows_g >= row0 + nb
+        Pl = jnp.where(below[:, None], Pl, 0.0)
+
+        P_full = lax.all_gather(Pl, ax, tiled=True)  # (n, nb)
+        U = jnp.matmul(Pl, P_full.T, precision=lax.Precision.HIGHEST)
+        colmask = cols_g >= row0 + nb
+        K_loc = K_loc - U * colmask[None, :]
+        y_loc = y_loc - Pl @ zk
+
+        quad = quad + jnp.sum(zk * zk)  # elementwise, not a bf16 dot
+        logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))
+        return K_loc, y_loc, quad, logdet
+
+    zero = jnp.zeros((), K_loc.dtype)
+    _, _, quad, logdet = lax.fori_loop(
+        0, steps, step, (K_loc, y_loc, zero, zero)
+    )
+
+    n_real = jnp.sum(mask)
+    lml = -0.5 * quad - logdet - 0.5 * n_real * _LOG2PI
+    return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+
+
+def row_sharded_lml(kernel, theta, X, y, alpha_diag, mask, mesh, nb=256):
+    """Masked LML of one theta with the gram row-sharded over ``mesh``.
+
+    Parameters mirror :func:`bask_tpu.ops.linalg.masked_lml`; ``mesh``
+    is a single-axis :class:`jax.sharding.Mesh` whose size divides
+    ``n_pad``. ``nb`` is the panel width (clamped to a divisor of the
+    local row count). Inputs are replicated (they are O(n·d)); the
+    O(n²) gram only ever exists as per-device strips.
+    """
+    if len(mesh.axis_names) != 1:
+        raise ValueError("row_sharded_lml expects a single-axis mesh")
+    ax = mesh.axis_names[0]
+    P_sz = mesh.devices.size
+    n = X.shape[0]
+    if n % P_sz:
+        raise ValueError(
+            f"n_pad={n} must be divisible by the mesh size {P_sz}"
+        )
+    nb = pick_row_nb(n // P_sz, nb)
+    body = partial(
+        _lml_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb
+    )
+    # check_vma=False: outputs are built from psum'd values and are
+    # bit-identical across devices (same convention as batched_lml's
+    # shard_map path).
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(theta, X, y, alpha_diag, mask)
+
+
+def row_sharded_lml_batch(
+    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256
+):
+    """(W, n_theta) → (W,) LMLs, each factorization row-sharded.
+
+    Walkers run sequentially (``lax.map``): this path is for n so large
+    that one gram strains a chip — there, walker-axis parallelism is
+    already out of memory and the mesh's parallelism goes to the rows.
+    """
+    if len(mesh.axis_names) != 1:
+        raise ValueError("row_sharded_lml_batch expects a single-axis mesh")
+    ax = mesh.axis_names[0]
+    P_sz = mesh.devices.size
+    n = X.shape[0]
+    if n % P_sz:
+        raise ValueError(
+            f"n_pad={n} must be divisible by the mesh size {P_sz}"
+        )
+    nb = pick_row_nb(n // P_sz, nb)
+    body = partial(
+        _lml_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb
+    )
+
+    def mapped(thetas, X, y, alpha_diag, mask):
+        return lax.map(
+            lambda t: body(t, X, y, alpha_diag, mask), thetas
+        )
+
+    fn = jax.shard_map(
+        mapped,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(thetas, X, y, alpha_diag, mask)

@@ -1,0 +1,149 @@
+"""Row-sharded distributed Cholesky/LML (ops/dist_chol.py).
+
+Validated on the 8-virtual-device CPU mesh: the sharded factorization
+(strip grams + psum'd diagonal blocks + all-gathered panels) must
+reproduce the single-device masked LML to float64 precision, across
+panel widths, padding masks, walker batches, and the non-PD → -inf
+contract. The reference has no distributed execution (SURVEY §2
+absent-rows); the oracle is bask-tpu's own masked_lml, which is itself
+pinned against the reference formulas elsewhere.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from bask_tpu.ops.dist_chol import (
+    pick_row_nb,
+    row_sharded_lml,
+    row_sharded_lml_batch,
+)
+from bask_tpu.ops.kernels import ConstantKernel, Matern, RBF, WhiteKernel
+from bask_tpu.ops.linalg import masked_lml
+
+
+def _mesh():
+    devs = np.array(jax.devices("cpu")[:8])
+    if devs.size < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return Mesh(devs, ("r",))
+
+
+def _problem(n_pad=256, n_real=233, d=3, seed=0):
+    rng = np.random.RandomState(seed)
+    X = np.zeros((n_pad, d))
+    X[:n_real] = rng.uniform(size=(n_real, d))
+    y = np.zeros(n_pad)
+    y[:n_real] = np.sin(3.0 * X[:n_real, 0]) + 0.1 * rng.randn(n_real)
+    mask = np.arange(n_pad) < n_real
+    alpha = np.where(mask, 1e-6 + 1e-7 * rng.uniform(size=n_pad), 0.0)
+    return (
+        jnp.asarray(X),
+        jnp.asarray(y),
+        jnp.asarray(alpha),
+        jnp.asarray(mask),
+    )
+
+
+def _kernel():
+    return ConstantKernel(1.0, (0.1, 10.0)) * Matern(
+        (0.3, 0.4, 0.5), (0.05, 5.0), nu=2.5
+    ) + WhiteKernel(0.05, (1e-5, 1e5))
+
+
+def test_pick_row_nb():
+    assert pick_row_nb(64, 256) == 64
+    assert pick_row_nb(96, 64) == 48
+    assert pick_row_nb(2048, 256) == 256
+    assert pick_row_nb(32, 7) == 4
+
+
+@pytest.mark.parametrize("nb", [16, 32, 64])
+def test_matches_masked_lml(nb):
+    mesh = _mesh()
+    kernel = _kernel()
+    X, y, alpha, mask = _problem()
+    theta = jnp.asarray(kernel.theta0 + 0.1)
+    want = float(masked_lml(kernel, theta, X, y, alpha, mask))
+    got = float(
+        jax.jit(
+            lambda t: row_sharded_lml(
+                kernel, t, X, y, alpha, mask, mesh=mesh, nb=nb
+            )
+        )(theta)
+    )
+    assert np.isfinite(want)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_no_padding_and_other_kernels():
+    mesh = _mesh()
+    X, y, alpha, mask = _problem(n_pad=128, n_real=128, d=2, seed=3)
+    alpha = jnp.full_like(alpha, 1e-5)
+    for kernel in (
+        ConstantKernel(2.0, (0.1, 10.0)) * RBF(0.5, (0.05, 5.0)),
+        ConstantKernel(1.0, (0.1, 10.0))
+        * Matern((0.3, 0.5), (0.05, 5.0), nu=1.5)
+        + WhiteKernel(0.05, (1e-5, 1e5)),
+    ):
+        theta = jnp.asarray(kernel.theta0 - 0.2)
+        want = float(masked_lml(kernel, theta, X, y, alpha, mask))
+        got = float(
+            row_sharded_lml(kernel, theta, X, y, alpha, mask, mesh=mesh)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_batch_matches_vmapped_masked_lml():
+    mesh = _mesh()
+    kernel = _kernel()
+    X, y, alpha, mask = _problem(n_pad=192, n_real=171, seed=5)
+    rng = np.random.RandomState(7)
+    thetas = jnp.asarray(
+        kernel.theta0[None, :] + 0.15 * rng.randn(6, kernel.n_theta)
+    )
+    want = jax.vmap(
+        lambda t: masked_lml(kernel, t, X, y, alpha, mask)
+    )(thetas)
+    got = row_sharded_lml_batch(
+        kernel, thetas, X, y, alpha, mask, mesh=mesh, nb=24
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-10
+    )
+
+
+def test_non_pd_gives_neg_inf():
+    mesh = _mesh()
+    kernel = ConstantKernel(1.0, (0.1, 10.0)) * Matern(
+        0.3, (0.05, 5.0), nu=2.5
+    )
+    n_pad, n_real = 128, 100
+    rng = np.random.RandomState(1)
+    X = np.zeros((n_pad, 1))
+    pts = rng.uniform(size=(n_real // 2, 1))
+    X[:n_real] = np.concatenate([pts, pts])  # exact duplicates
+    y = np.zeros(n_pad)
+    y[:n_real] = rng.randn(n_real)
+    mask = jnp.asarray(np.arange(n_pad) < n_real)
+    alpha = jnp.zeros(n_pad)  # no jitter: gram is singular
+    theta = jnp.asarray(kernel.theta0)
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+    assert float(masked_lml(kernel, theta, Xj, yj, alpha, mask)) == -np.inf
+    got = float(
+        row_sharded_lml(kernel, theta, Xj, yj, alpha, mask, mesh=mesh)
+    )
+    assert got == -np.inf
+
+
+def test_rejects_indivisible_n():
+    mesh = _mesh()
+    kernel = _kernel()
+    X, y, alpha, mask = _problem(n_pad=100, n_real=90)
+    with pytest.raises(ValueError, match="divisible"):
+        row_sharded_lml(
+            kernel, jnp.asarray(kernel.theta0), X, y, alpha, mask,
+            mesh=mesh,
+        )
