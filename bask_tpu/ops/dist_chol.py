@@ -47,7 +47,12 @@ from jax import lax
 from jax.scipy.linalg import solve_triangular
 from jax.sharding import PartitionSpec as P
 
-__all__ = ["row_sharded_lml", "row_sharded_lml_batch", "pick_row_nb"]
+__all__ = [
+    "row_sharded_lml",
+    "row_sharded_lml_batch",
+    "walker_row_sharded_lml",
+    "pick_row_nb",
+]
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -213,6 +218,62 @@ def row_sharded_lml_batch(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(),
+        check_vma=False,
+    )
+    return fn(thetas, X, y, alpha_diag, mask)
+
+
+def walker_row_sharded_lml(
+    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256
+):
+    """(W, n_theta) → (W,) LMLs on a 2-D (walker × row) mesh.
+
+    Composes both parallelism axes: the walker batch shards over the
+    mesh's FIRST axis (pure data parallelism, no communication) and
+    each walker's factorization row-shards over the SECOND axis
+    (collectives as in :func:`row_sharded_lml`). This is the layout
+    for ensembles at n too large for per-device grams but small enough
+    that devices outnumber walkers' memory needs — e.g. 100 walkers ×
+    n=32k on a 4×4 v5e slice: 25 sequential row-sharded
+    factorizations per 4-device row group instead of 100.
+
+    The walker count must be divisible by the first axis size;
+    ``n_pad`` by the second.
+    """
+    if len(mesh.axis_names) != 2:
+        raise ValueError(
+            "walker_row_sharded_lml expects a 2-axis mesh (walkers, rows)"
+        )
+    w_ax, r_ax = mesh.axis_names
+    W_sz = mesh.shape[w_ax]
+    P_sz = mesh.shape[r_ax]
+    W = thetas.shape[0]
+    n = X.shape[0]
+    if W % W_sz:
+        raise ValueError(
+            f"walker count {W} must be divisible by the mesh's "
+            f"{w_ax} axis size {W_sz}"
+        )
+    if n % P_sz:
+        raise ValueError(
+            f"n_pad={n} must be divisible by the mesh's "
+            f"{r_ax} axis size {P_sz}"
+        )
+    nb = pick_row_nb(n // P_sz, nb)
+    body = partial(
+        _lml_strip_body, kernel=kernel, ax=r_ax, P_sz=P_sz, nb=nb
+    )
+
+    def mapped(thetas_loc, X, y, alpha_diag, mask):
+        return lax.map(
+            lambda t: body(t, X, y, alpha_diag, mask), thetas_loc
+        )
+
+    fn = jax.shard_map(
+        mapped,
+        mesh=mesh,
+        in_specs=(P(w_ax, None), P(), P(), P(), P()),
+        out_specs=P(w_ax),
         check_vma=False,
     )
     return fn(thetas, X, y, alpha_diag, mask)

@@ -19,6 +19,7 @@ from bask_tpu.ops.dist_chol import (
     pick_row_nb,
     row_sharded_lml,
     row_sharded_lml_batch,
+    walker_row_sharded_lml,
 )
 from bask_tpu.ops.kernels import ConstantKernel, Matern, RBF, WhiteKernel
 from bask_tpu.ops.linalg import masked_lml
@@ -113,6 +114,48 @@ def test_batch_matches_vmapped_masked_lml():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-10
     )
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_walker_row_2d_mesh(shape):
+    devs = np.array(jax.devices("cpu")[:8]).reshape(shape)
+    if devs.size < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = Mesh(devs, ("w", "r"))
+    kernel = _kernel()
+    X, y, alpha, mask = _problem(n_pad=192, n_real=180, seed=9)
+    rng = np.random.RandomState(11)
+    thetas = jnp.asarray(
+        kernel.theta0[None, :] + 0.1 * rng.randn(8, kernel.n_theta)
+    )
+    want = jax.vmap(
+        lambda t: masked_lml(kernel, t, X, y, alpha, mask)
+    )(thetas)
+    got = jax.jit(
+        lambda th: walker_row_sharded_lml(
+            kernel, th, X, y, alpha, mask, mesh=mesh, nb=32
+        )
+    )(thetas)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-10
+    )
+
+
+def test_walker_row_2d_mesh_rejects_bad_shapes():
+    devs = np.array(jax.devices("cpu")[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("w", "r"))
+    kernel = _kernel()
+    X, y, alpha, mask = _problem(n_pad=192, n_real=180)
+    thetas = jnp.asarray(kernel.theta0[None, :] + np.zeros((5, 1)))
+    with pytest.raises(ValueError, match="divisible"):
+        walker_row_sharded_lml(
+            kernel, thetas, X, y, alpha, mask, mesh=mesh
+        )
+    X2, y2, alpha2, mask2 = _problem(n_pad=98, n_real=90)
+    with pytest.raises(ValueError, match="divisible"):
+        walker_row_sharded_lml(
+            kernel, thetas[:4], X2, y2, alpha2, mask2, mesh=mesh
+        )
 
 
 def test_non_pd_gives_neg_inf():
