@@ -87,6 +87,15 @@ _HOST_PRIOR_CACHE = {
 }
 _HOST_PRIOR_CACHE_MAX = 64
 
+# Tabulated-interpolation wrappers for opaque priors under
+# host_prior_mode="interp" — keyed by (callable, range) so the jitted
+# chain's static priors tuple stays identity-stable across tells.
+_INTERP_PRIOR_CACHE = OrderedDict()
+# Margin (in log-theta units) beyond the kernel bounds covered by the
+# table; the chain's priors confine walkers near the bounds, and beyond
+# the table the interpolant extrapolates the edge slopes linearly.
+_INTERP_PRIOR_MARGIN = 5.0
+
 
 def _host_prior_wrapper(p, joint: bool = False):
     """Wrap a host-only log-prior in ``jax.pure_callback``.
@@ -686,6 +695,7 @@ class BayesGPR:
         copy_X_train: bool = True,
         random_state=None,
         noise: Optional[str] = "gaussian",
+        host_prior_mode: str = "callback",
     ):
         if kernel is None:
             kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
@@ -699,6 +709,13 @@ class BayesGPR:
         self.warp_inputs = warp_inputs
         self.copy_X_train = copy_X_train
         self.noise = noise
+        if host_prior_mode not in ("callback", "interp"):
+            raise ValueError(
+                "host_prior_mode must be 'callback' (exact, needs backend "
+                "callback support) or 'interp' (approximate on-device "
+                f"tabulation), got {host_prior_mode!r}"
+            )
+        self.host_prior_mode = host_prior_mode
         if isinstance(random_state, np.random.RandomState):
             self.random_state = random_state
         else:
@@ -1016,9 +1033,11 @@ class BayesGPR:
             return self._priors_cache
         if callable(priors):
             return self._traceable_or_host(priors, joint=True)
-        return tuple(self._traceable_or_host(p) for p in priors)
+        return tuple(
+            self._traceable_or_host(p, dim=i) for i, p in enumerate(priors)
+        )
 
-    def _traceable_or_host(self, p, joint: bool = False):
+    def _traceable_or_host(self, p, joint: bool = False, dim=None):
         """Return ``p`` if it traces under JAX, else an exact on-device
         lift for recognized frozen ``scipy.stats`` log-densities, else a
         cached ``pure_callback`` adapter (reference users pass NumPy/
@@ -1051,6 +1070,8 @@ class BayesGPR:
                     while len(cache) > _HOST_PRIOR_CACHE_MAX:
                         cache.popitem(last=False)
                 return lifted
+            if self.host_prior_mode == "interp":
+                return self._interp_prior(p, dim)
         warnings.warn(
             "A gp prior is not JAX-traceable and will run through a host "
             "callback each MCMC step — functional, but slow on TPU. "
@@ -1067,6 +1088,46 @@ class BayesGPR:
             while len(cache) > _HOST_PRIOR_CACHE_MAX:
                 cache.popitem(last=False)
         return wrapper
+
+    def _interp_prior(self, p, dim):
+        """Tabulated on-device approximation of an opaque prior
+        (``host_prior_mode="interp"``): callback-free, so reference-
+        style lambda priors run on backends that reject host callbacks
+        (the axon tunnel). Range = this theta dimension's log-bounds ±
+        a margin; linear extrapolation beyond."""
+        from ..utils.scipy_lift import tabulate_prior
+
+        spec = self._spec if self._spec is not None else self._user_kernel
+        bounds = np.asarray(spec.bounds, dtype=float)
+        if dim is not None and 0 <= dim < bounds.shape[0]:
+            lo, hi = bounds[dim]
+        else:  # pragma: no cover - elementwise priors always carry dim
+            lo, hi = -12.0, 12.0
+        lo, hi = lo - _INTERP_PRIOR_MARGIN, hi + _INTERP_PRIOR_MARGIN
+        try:
+            key = (p, lo, hi)
+            cached = _INTERP_PRIOR_CACHE.get(key)
+        except TypeError:  # unhashable callable
+            key, cached = None, None
+        if cached is not None:
+            _INTERP_PRIOR_CACHE.move_to_end(key)
+            return cached
+        interp, max_err = tabulate_prior(p, lo, hi)
+        warnings.warn(
+            "host_prior_mode='interp': a non-traceable gp prior is "
+            f"approximated by on-device interpolation over [{lo:.2f}, "
+            f"{hi:.2f}] (measured max |Δlog-density| ≈ {max_err:.2e}). "
+            "Chain numerics differ slightly from the exact host prior; "
+            "use host_prior_mode='callback' on backends with callback "
+            "support for exactness.",
+            UserWarning,
+            stacklevel=4,
+        )
+        if key is not None:
+            _INTERP_PRIOR_CACHE[key] = interp
+            while len(_INTERP_PRIOR_CACHE) > _HOST_PRIOR_CACHE_MAX:
+                _INTERP_PRIOR_CACHE.popitem(last=False)
+        return interp
 
     def sample(
         self,

@@ -34,7 +34,7 @@ import numpy as np
 from scipy.special import betaln as _h_betaln
 from scipy.special import gammaln as _h_gammaln
 
-__all__ = ["lift_scipy_prior"]
+__all__ = ["lift_scipy_prior", "tabulate_prior"]
 
 _SQRT2PI_LOG = 0.5 * math.log(2.0 * math.pi)
 
@@ -207,6 +207,68 @@ _FAMILIES = {
     "t": (_t, 1),
     "chi2": (_chi2, 1),
 }
+
+
+# Log-densities below this are "effectively rejected" anyway (exp
+# underflows long before); flooring -inf/NaN knots here keeps the
+# interpolation finite while preserving MCMC rejection behavior.
+_TABLE_FLOOR = -1e12
+
+
+def tabulate_prior(p, lo, hi, n_knots=16385):
+    """Approximate an opaque scalar log-density by on-device interpolation.
+
+    Samples ``p`` on host over ``n_knots`` equispaced points of
+    ``[lo, hi]`` and returns ``(interp, max_err)``: a traceable
+    piecewise-linear interpolant (linearly extrapolated beyond the
+    range using the edge segments' slopes) and the measured max
+    absolute log-density error against ``p`` at segment midpoints.
+    ``-inf``/NaN knots are floored to a very negative finite value so
+    the interpolation stays finite (the chain still rejects there).
+
+    This is the callback-free escape hatch for backends that reject
+    host callbacks (the axon TPU tunnel) when a prior is an opaque
+    callable (e.g. a lambda wrapping scipy) that cannot be lifted
+    exactly. Approximate by construction — opt in via
+    ``BayesGPR(host_prior_mode="interp")``.
+    """
+    lo, hi = float(lo), float(hi)
+    if not (hi > lo) or n_knots < 3:
+        raise ValueError("tabulate_prior needs hi > lo and n_knots >= 3")
+    xs = np.linspace(lo, hi, n_knots)
+    vec = np.vectorize(p, otypes=[np.float64])
+    vals = vec(xs)
+    vals = np.where(np.isnan(vals), -np.inf, vals)
+    vals = np.maximum(vals, _TABLE_FLOOR)
+    h = (hi - lo) / (n_knots - 1)
+
+    # measured error at a midpoint subsample (the worst case for
+    # piecewise-linear interpolation of a smooth function)
+    mid_idx = np.linspace(0, n_knots - 2, min(512, n_knots - 1)).astype(int)
+    mids = xs[mid_idx] + 0.5 * h
+    exact = np.maximum(
+        np.where(np.isnan(vec(mids)), -np.inf, vec(mids)), _TABLE_FLOOR
+    )
+    approx = 0.5 * (vals[mid_idx] + vals[mid_idx + 1])
+    finite = np.isfinite(exact) & (exact > _TABLE_FLOOR / 2)
+    max_err = float(np.max(np.abs(approx[finite] - exact[finite]))) if (
+        finite.any()
+    ) else 0.0
+
+    def interp(x):
+        import jax.numpy as jnp
+
+        # table converted inside the trace (no device op at wrap time;
+        # ~128 KB constant — well under remote-compile payload limits)
+        table = jnp.asarray(vals, dtype=jnp.result_type(x, jnp.float32))
+        t = (x - lo) / h
+        i = jnp.clip(jnp.floor(t), 0, n_knots - 2).astype(jnp.int32)
+        frac = t - i  # unbounded beyond the range: edge-slope extrapolation
+        v0 = table[i]
+        return v0 + frac * (table[i + 1] - v0)
+
+    interp.__tabulated__ = (lo, hi, n_knots, max_err)
+    return interp, max_err
 
 
 def _resolve_dist(p):

@@ -123,6 +123,96 @@ def test_traceable_or_host_falls_back_with_warning():
     assert not hasattr(wrapped, "__wrapped_scipy__")
 
 
+def test_tabulate_prior_accuracy_and_extrapolation():
+    from scipy.stats import halfnorm
+
+    from bask_tpu.utils.scipy_lift import tabulate_prior
+
+    def p(x):  # the reference tutorials' variance-prior lambda shape
+        return (
+            halfnorm(scale=2.0).logpdf(np.sqrt(np.exp(x)))
+            + x / 2.0
+            - np.log(2.0)
+        )
+
+    interp, max_err = tabulate_prior(p, -8.0, 8.0)
+    # worst case sits at the right edge where curvature is e^x/8 (a
+    # log-density of ~-370, rejected regardless); the bound is loose
+    assert max_err < 1e-3
+    grid = np.linspace(-7.5, 4.0, 301)  # the region that matters
+    got = np.asarray(jax.jit(jax.vmap(interp))(jnp.asarray(grid)))
+    np.testing.assert_allclose(got, p(grid), atol=1e-5, rtol=1e-6)
+    # beyond the table: finite linear extrapolation, falling in the
+    # direction the density falls
+    far = np.asarray(jax.vmap(interp)(jnp.asarray([-12.0, 12.0])))
+    assert np.isfinite(far).all()
+    assert far[1] < got[-1]  # density keeps decreasing to the right
+    # callback-free lowering
+    text = jax.jit(interp).lower(jnp.float64(0.1)).as_text()
+    assert "callback" not in text.lower()
+
+
+def test_tabulate_prior_floors_neg_inf():
+    from bask_tpu.utils.scipy_lift import tabulate_prior
+
+    def p(x):
+        return np.log(np.maximum(0.0, np.where(np.abs(x) < 1, 1.0, 0.0)))
+
+    with np.errstate(divide="ignore"):
+        interp, _ = tabulate_prior(p, -3.0, 3.0, n_knots=601)
+    vals = np.asarray(jax.vmap(interp)(jnp.asarray([-2.0, 0.0, 2.0])))
+    assert np.isfinite(vals).all()
+    assert vals[1] == 0.0  # exact on the flat region
+    assert vals[0] < -1e10 and vals[2] < -1e10  # rejected in practice
+
+
+def test_interp_mode_end_to_end():
+    """host_prior_mode='interp' runs an opaque lambda prior fully on
+    device: the resolved prior is the tabulated interpolant (identity-
+    stable, callback-free) and the fit produces a healthy chain close
+    to the exact-prior one at the log-prob level."""
+    from scipy.stats import halfnorm
+
+    def variance_prior(x):
+        return (
+            halfnorm(scale=2.0).logpdf(np.sqrt(np.exp(x)))
+            + x / 2.0
+            - np.log(2.0)
+        )
+
+    gp = BayesGPR(
+        kernel=ConstantKernel(1.0, (0.1, 10.0))
+        * Matern(1.0, (0.05, 5.0), nu=2.5),
+        random_state=11,
+        host_prior_mode="interp",
+    )
+    rng = np.random.RandomState(2)
+    X = rng.uniform(size=(12, 1))
+    y = np.sin(4.0 * X[:, 0]) + 0.1 * rng.randn(12)
+    priors = [variance_prior] * 3
+    with pytest.warns(UserWarning, match="interp"):
+        gp.fit(
+            X, y, priors=priors,
+            n_burnin=3, n_desired_samples=40,
+            n_walkers_per_thread=10, progress=False,
+        )
+    assert np.isfinite(gp.chain_).all()
+    # the resolved wrapper is the tabulated interpolant, stable across
+    # resolutions (jit static key)
+    w1 = gp._traceable_or_host(variance_prior, dim=0)
+    w2 = gp._traceable_or_host(variance_prior, dim=0)
+    assert hasattr(w1, "__tabulated__") and w1 is w2
+    # log-prob parity with the exact prior at 1e-5 over the table range
+    grid = np.linspace(-4.0, 2.0, 101)
+    got = np.asarray(jax.vmap(w1)(jnp.asarray(grid)))
+    np.testing.assert_allclose(got, variance_prior(grid), atol=2e-5)
+
+
+def test_invalid_host_prior_mode_raises():
+    with pytest.raises(ValueError, match="host_prior_mode"):
+        BayesGPR(host_prior_mode="magic")
+
+
 def test_chain_bit_identical_to_jnp_formulation():
     """Frozen scipy priors produce the same chain as hand-written jnp
     priors implementing the same formula — the lift is exact."""
