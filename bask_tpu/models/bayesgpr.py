@@ -1103,6 +1103,12 @@ class BayesGPR:
             lo, hi = bounds[dim]
         else:  # pragma: no cover - elementwise priors always carry dim
             lo, hi = -12.0, 12.0
+        # infinite log-bounds (fixed-less parameters) cannot be
+        # tabulated — clamp to a wide default range instead
+        if not np.isfinite(lo):
+            lo = -12.0
+        if not np.isfinite(hi):
+            hi = 12.0
         lo, hi = lo - _INTERP_PRIOR_MARGIN, hi + _INTERP_PRIOR_MARGIN
         try:
             key = (p, lo, hi)

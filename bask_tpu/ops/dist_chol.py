@@ -134,7 +134,10 @@ def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
         U = jnp.matmul(Pl, P_full.T, precision=lax.Precision.HIGHEST)
         colmask = cols_g >= row0 + nb
         K_loc = K_loc - U * colmask[None, :]
-        y_loc = y_loc - Pl @ zk
+        # forward-solve update: precision-critical matvec (CLAUDE.md 5)
+        y_loc = y_loc - jnp.matmul(
+            Pl, zk, precision=lax.Precision.HIGHEST
+        )
 
         quad = quad + jnp.sum(zk * zk)  # elementwise, not a bf16 dot
         logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))

@@ -233,6 +233,12 @@ def tabulate_prior(p, lo, hi, n_knots=16385):
     ``BayesGPR(host_prior_mode="interp")``.
     """
     lo, hi = float(lo), float(hi)
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        raise ValueError(
+            f"tabulate_prior needs finite bounds, got [{lo}, {hi}] — "
+            "infinite kernel bounds (e.g. fixed-less parameters) must be "
+            "clamped by the caller"
+        )
     if not (hi > lo) or n_knots < 3:
         raise ValueError("tabulate_prior needs hi > lo and n_knots >= 3")
     xs = np.linspace(lo, hi, n_knots)
@@ -305,8 +311,10 @@ def _resolve_dist(p):
         return None
     if not all(np.isfinite(s) for s in shapes):
         return None
-    ref = owner.logpdf if isinstance(owner, rv_continuous_frozen) else p
-    return family, shapes, loc, scale, ref
+    # probe against the log-density regardless of whether the user
+    # passed logpdf or pdf (owner.logpdf works for frozen AND unfrozen
+    # owners; for unfrozen ones the defaults match the parsed args)
+    return family, shapes, loc, scale, owner.logpdf
 
 
 def lift_scipy_prior(p):

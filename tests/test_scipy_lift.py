@@ -80,6 +80,28 @@ def test_lift_unfrozen_default_args():
     )
 
 
+def test_lift_unfrozen_pdf_variant():
+    # regression: the probe must compare log-densities even when the
+    # user passed an UNFROZEN .pdf (ref = owner.logpdf unconditionally)
+    lifted = lift_scipy_prior(sps.norm.pdf)
+    assert lifted is not None
+    grid = np.linspace(-3, 3, 11)
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(lifted)(jnp.asarray(grid))),
+        sps.norm.pdf(grid),
+        rtol=1e-12,
+    )
+
+
+def test_tabulate_prior_rejects_infinite_bounds():
+    from bask_tpu.utils.scipy_lift import tabulate_prior
+
+    with pytest.raises(ValueError, match="finite"):
+        tabulate_prior(lambda x: -x * x, -np.inf, 3.0)
+    with pytest.raises(ValueError, match="finite"):
+        tabulate_prior(lambda x: -x * x, -3.0, np.nan)
+
+
 def test_lift_rejects_unsupported():
     assert lift_scipy_prior(sps.vonmises(1.0).logpdf) is None
     assert lift_scipy_prior(lambda x: sps.norm.logpdf(x)) is None
@@ -103,17 +125,19 @@ def _gp(kernel=None):
 
 def test_traceable_or_host_lifts_without_warning():
     gp = _gp()
-    p = sps.norm(-1.0, 0.7).logpdf
+    dist = sps.norm(-1.0, 0.7)
+    p = dist.logpdf
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         lifted = gp._traceable_or_host(p)
     assert hasattr(lifted, "__wrapped_scipy__")
-    # identity-stable across calls (jit static key): same object again,
-    # including through a fresh equal bound method
-    assert gp._traceable_or_host(sps.norm(-1.0, 0.7).logpdf) is lifted or (
-        p in _HOST_PRIOR_CACHE[False]
-    )
+    # identity-stable across calls (jit static key): re-passing the
+    # same callable AND a fresh bound method of the same frozen dist
+    # (dist.logpdf creates a new-but-equal method per access) must
+    # return the SAME wrapper object, or the chain recompiles per tell
     assert gp._traceable_or_host(p) is lifted
+    assert gp._traceable_or_host(dist.logpdf) is lifted
+    assert p in _HOST_PRIOR_CACHE[False]
 
 
 def test_traceable_or_host_falls_back_with_warning():
