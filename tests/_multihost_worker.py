@@ -134,6 +134,40 @@ def main():
     print(f"worker {idx}/{cnt}: multihost candidate-shard acquisition "
           f"parity OK ({checked_c} shards, {n_cand} candidates)")
 
+    # ---- row-sharded distributed factorization across processes ----
+    # one gram sharded by block-row over the PROCESS-SPANNING mesh: the
+    # per-panel psum/all_gather collectives cross the process boundary
+    # (the DCN path on real multi-slice hardware)
+    from bask_tpu.ops.dist_chol import row_sharded_lml
+    from bask_tpu.ops.linalg import masked_lml
+
+    n_pad = 4 * n_global
+    n_real = n_pad - 3
+    rng_r = np.random.RandomState(13)
+    Xr = np.zeros((n_pad, 2))
+    Xr[:n_real] = rng_r.uniform(size=(n_real, 2))
+    yr = np.zeros(n_pad)
+    yr[:n_real] = np.sin(3 * Xr[:n_real, 0]) + 0.1 * rng_r.randn(n_real)
+    mask_r = jnp.asarray(np.arange(n_pad) < n_real)
+    alpha_r = jnp.where(mask_r, 1e-6, 0.0)
+    theta_r = jnp.asarray(np.asarray(ref_chain[-1])[0])
+
+    want = float(
+        masked_lml(
+            kernel, theta_r, jnp.asarray(Xr), jnp.asarray(yr),
+            alpha_r, mask_r,
+        )
+    )
+    got = row_sharded_lml(
+        kernel, theta_r, jnp.asarray(Xr), jnp.asarray(yr),
+        alpha_r, mask_r, mesh=mesh, nb=4,
+    )
+    got = float(np.asarray(jax.device_get(got)))
+    assert np.isfinite(want)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    print(f"worker {idx}/{cnt}: multihost row-sharded LML parity OK "
+          f"(n_pad={n_pad} over {n_global} devices)")
+
 
 if __name__ == "__main__":
     main()
