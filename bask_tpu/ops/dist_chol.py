@@ -50,6 +50,7 @@ from jax.sharding import PartitionSpec as P
 __all__ = [
     "row_sharded_lml",
     "row_sharded_lml_batch",
+    "row_sharded_predict",
     "walker_row_sharded_lml",
     "pick_row_nb",
 ]
@@ -65,9 +66,30 @@ def pick_row_nb(n_loc: int, nb: int = 256) -> int:
     return nb
 
 
-def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
-    """shard_map body: one device's strip of the factorization."""
+def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
+                 P_sz, nb, theta_diag=None):
+    """One device's strip of the blocked distributed sweep.
+
+    Factorizes the row-sharded masked gram while forward-solving
+    ``L⁻¹ [y, k(X, Xq)]`` in the same pass (the right-hand sides update
+    like extra trailing columns; the query cross-block is built locally
+    per strip, so nothing O(n·m) is ever replicated-then-sharded).
+    Returns the reductions every caller needs:
+    ``(quad, logdet, dot, qnorm)`` with
+
+    * ``quad``   = |L⁻¹y|²                         (the LML quadratic)
+    * ``logdet`` = Σ log diag(L)
+    * ``dot``    = (L⁻¹Kq)ᵀ (L⁻¹y)  per query      (predictive means)
+    * ``qnorm``  = |L⁻¹Kq|² per query              (predictive variances)
+
+    ``Xq``: (m, d) query inputs or ``None`` (LML only). ``theta_diag``
+    optionally evaluates the query cross-block with a different theta
+    (noise-free prediction; White contributes 0 on cross blocks so the
+    values coincide for White-only differences). All returned values
+    are bit-identical across devices (built from psum'd blocks).
+    """
     n = X.shape[0]
+    m = 0 if Xq is None else Xq.shape[0]
     n_loc = n // P_sz
     p = lax.axis_index(ax)
     r0 = p * n_loc
@@ -77,6 +99,12 @@ def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
     mask_loc = lax.dynamic_slice_in_dim(mask, r0, n_loc, 0)
     alpha_loc = lax.dynamic_slice_in_dim(alpha_diag, r0, n_loc, 0)
     y_loc = lax.dynamic_slice_in_dim(y, r0, n_loc, 0)
+    if m:
+        tq = theta if theta_diag is None else theta_diag
+        Ksl = kernel.eval(tq, X_loc, Xq) * mask_loc[:, None]
+        B_loc = jnp.concatenate([y_loc[:, None], Ksl], axis=1)
+    else:
+        B_loc = y_loc[:, None]  # (n_loc, 1+m)
 
     rows_g = r0 + jnp.arange(n_loc)
     cols_g = jnp.arange(n)
@@ -90,12 +118,12 @@ def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
     )
     K_loc = jnp.where(diag_sel, dvals[:, None], K_loc)
 
-    # --- blocked right-looking sweep with the y-solve interleaved ---
+    # --- blocked right-looking sweep, forward solves interleaved ---
     eye_nb = jnp.eye(nb, dtype=K_loc.dtype)
     steps = n // nb
 
     def step(k, carry):
-        K_loc, y_loc, quad, logdet = carry
+        K_loc, B_loc, quad, logdet, dot, qnorm = carry
         # int32 throughout: axis_index is int32, the fori_loop counter
         # is int64 under x64 — dynamic_slice requires matching types
         row0 = (k * nb).astype(jnp.int32)
@@ -111,17 +139,19 @@ def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
             ),
             ax,
         )
-        yk = lax.psum(
+        Bk = lax.psum(
             jnp.where(
                 is_owner,
-                lax.dynamic_slice(y_loc, (loc0,), (nb,)),
+                lax.dynamic_slice(
+                    B_loc, (loc0, jnp.int32(0)), (nb, 1 + m)
+                ),
                 0.0,
             ),
             ax,
         )
         # tiny block: every device factorizes redundantly
         Lkk = jnp.linalg.cholesky(Akk)
-        zk = solve_triangular(Lkk, yk, lower=True)
+        Zk = solve_triangular(Lkk, Bk, lower=True)  # (nb, 1+m)
         LinvT = solve_triangular(Lkk, eye_nb, lower=True).T
 
         # local panel rows strictly below the diagonal block
@@ -134,20 +164,34 @@ def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
         U = jnp.matmul(Pl, P_full.T, precision=lax.Precision.HIGHEST)
         colmask = cols_g >= row0 + nb
         K_loc = K_loc - U * colmask[None, :]
-        # forward-solve update: precision-critical matvec (CLAUDE.md 5)
-        y_loc = y_loc - jnp.matmul(
-            Pl, zk, precision=lax.Precision.HIGHEST
+        # forward-solve update: precision-critical matmul (CLAUDE.md 5)
+        B_loc = B_loc - jnp.matmul(
+            Pl, Zk, precision=lax.Precision.HIGHEST
         )
 
-        quad = quad + jnp.sum(zk * zk)  # elementwise, not a bf16 dot
+        zy = Zk[:, 0]
+        quad = quad + jnp.sum(zy * zy)  # elementwise, not a bf16 dot
         logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))
-        return K_loc, y_loc, quad, logdet
+        if m:
+            Zq = Zk[:, 1:]
+            dot = dot + jnp.sum(Zq * zy[:, None], axis=0)
+            qnorm = qnorm + jnp.sum(Zq * Zq, axis=0)
+        return K_loc, B_loc, quad, logdet, dot, qnorm
 
     zero = jnp.zeros((), K_loc.dtype)
-    _, _, quad, logdet = lax.fori_loop(
-        0, steps, step, (K_loc, y_loc, zero, zero)
+    zm = jnp.zeros((m,), K_loc.dtype)
+    _, _, quad, logdet, dot, qnorm = lax.fori_loop(
+        0, steps, step, (K_loc, B_loc, zero, zero, zm, zm)
     )
+    return quad, logdet, dot, qnorm
 
+
+def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
+    """shard_map body: masked LML from the distributed sweep."""
+    quad, logdet, _, _ = _sweep_strip(
+        theta, X, None, y, alpha_diag, mask,
+        kernel=kernel, ax=ax, P_sz=P_sz, nb=nb,
+    )
     n_real = jnp.sum(mask)
     lml = -0.5 * quad - logdet - 0.5 * n_real * _LOG2PI
     return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
@@ -186,6 +230,75 @@ def row_sharded_lml(kernel, theta, X, y, alpha_diag, mask, mesh, nb=256):
         check_vma=False,
     )
     return fn(theta, X, y, alpha_diag, mask)
+
+
+def row_sharded_predict(
+    kernel,
+    theta,
+    X,
+    y,
+    alpha_diag,
+    mask,
+    Xq,
+    mesh,
+    nb=256,
+    y_mean=0.0,
+    y_std=1.0,
+    theta_diag=None,
+    return_lml=False,
+):
+    """Predictive mean/std at ``Xq`` with the gram row-sharded.
+
+    The huge-n counterpart of :func:`bask_tpu.models.gp.predict`: both
+    forward solves (``L⁻¹y`` and ``L⁻¹k(X, Xq)``) ride the same
+    distributed factorization sweep as the LML — no stored factor, no
+    backward solve —
+
+        mean = y_mean + y_std · (L⁻¹Kq)ᵀ(L⁻¹y)
+        var  = diag k(Xq, Xq) − |L⁻¹Kq|²
+
+    ``theta_diag``: optional separate theta for the query-side kernel
+    (noise-free prediction, mirroring ``gp.predict``'s ``theta_diag``).
+    Returns ``(mean, std)`` in original y units, plus the masked LML
+    when ``return_lml`` (it falls out of the same sweep for free).
+    Query batches should stay ≪ n (each device carries an (n_loc, m)
+    solve block).
+    """
+    if len(mesh.axis_names) != 1:
+        raise ValueError("row_sharded_predict expects a single-axis mesh")
+    ax = mesh.axis_names[0]
+    P_sz = mesh.devices.size
+    n = X.shape[0]
+    if n % P_sz:
+        raise ValueError(
+            f"n_pad={n} must be divisible by the mesh size {P_sz}"
+        )
+    nb = pick_row_nb(n // P_sz, nb)
+    tq = theta if theta_diag is None else theta_diag
+
+    def body(theta, tq, X, Xq, y, alpha_diag, mask):
+        quad, logdet, dot, qnorm = _sweep_strip(
+            theta, X, Xq, y, alpha_diag, mask,
+            kernel=kernel, ax=ax, P_sz=P_sz, nb=nb, theta_diag=tq,
+        )
+        n_real = jnp.sum(mask)
+        lml = -0.5 * quad - logdet - 0.5 * n_real * _LOG2PI
+        return dot, qnorm, jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    dot, qnorm, lml = fn(theta, tq, X, Xq, y, alpha_diag, mask)
+    mean = y_mean + y_std * dot
+    var = jnp.maximum(kernel.diag(tq, Xq) - qnorm, 0.0)
+    std = jnp.sqrt(var) * y_std
+    if return_lml:
+        return mean, std, lml
+    return mean, std
 
 
 def row_sharded_lml_batch(

@@ -15,10 +15,12 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh
 
+from bask_tpu.models import gp as gpc
 from bask_tpu.ops.dist_chol import (
     pick_row_nb,
     row_sharded_lml,
     row_sharded_lml_batch,
+    row_sharded_predict,
     walker_row_sharded_lml,
 )
 from bask_tpu.ops.kernels import ConstantKernel, Matern, RBF, WhiteKernel
@@ -114,6 +116,58 @@ def test_batch_matches_vmapped_masked_lml():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-10
     )
+
+
+def test_predict_matches_gp_predict():
+    """Row-sharded predictive mean/std/LML == the single-device GP
+    readout (gp.posterior + gp.predict), including y renormalization
+    and the noise-free theta_diag variant."""
+    mesh = _mesh()
+    kernel = _kernel()
+    X, y, alpha, mask = _problem(n_pad=256, n_real=229, seed=21)
+    theta = jnp.asarray(kernel.theta0 + 0.07)
+    y_mean, y_std = 0.31, 1.7
+    rng = np.random.RandomState(3)
+    Xq = jnp.asarray(rng.uniform(size=(17, 3)))
+
+    data = gpc.make_data(X, y, alpha, mask, y_mean=y_mean, y_std=y_std)
+    post = gpc.posterior(kernel, theta, data)
+    mu_ref, std_ref = gpc.predict(
+        kernel, theta, post, data, Xq, return_std=True
+    )
+    lml_ref = float(masked_lml(kernel, theta, X, y, alpha, mask))
+
+    mu, std, lml = jax.jit(
+        lambda t: row_sharded_predict(
+            kernel, t, X, y, alpha, mask, Xq, mesh=mesh, nb=32,
+            y_mean=y_mean, y_std=y_std, return_lml=True,
+        )
+    )(theta)
+    np.testing.assert_allclose(
+        np.asarray(mu), np.asarray(mu_ref), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(std), np.asarray(std_ref), rtol=1e-8, atol=1e-11
+    )
+    np.testing.assert_allclose(float(lml), lml_ref, rtol=1e-10)
+
+    # noise-free prediction: the White variance leaves the query diag
+    white_idx = kernel.n_theta - 1
+    tq = gpc.noise_free_theta(kernel, theta, white_idx)
+    mu0_ref, std0_ref = gpc.predict(
+        kernel, tq, post, data, Xq, return_std=True
+    )
+    mu0, std0 = row_sharded_predict(
+        kernel, theta, X, y, alpha, mask, Xq, mesh=mesh, nb=32,
+        y_mean=y_mean, y_std=y_std, theta_diag=tq,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu0), np.asarray(mu0_ref), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(std0), np.asarray(std0_ref), rtol=1e-8, atol=1e-11
+    )
+    assert (np.asarray(std0) <= np.asarray(std) + 1e-12).all()
 
 
 @pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
