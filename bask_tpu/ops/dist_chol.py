@@ -51,6 +51,7 @@ __all__ = [
     "row_sharded_lml",
     "row_sharded_lml_batch",
     "row_sharded_predict",
+    "row_sharded_sample_y",
     "walker_row_sharded_lml",
     "pick_row_nb",
 ]
@@ -67,7 +68,7 @@ def pick_row_nb(n_loc: int, nb: int = 256) -> int:
 
 
 def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
-                 P_sz, nb, theta_diag=None):
+                 P_sz, nb, theta_diag=None, with_outer=False):
     """One device's strip of the blocked distributed sweep.
 
     Factorizes the row-sharded masked gram while forward-solving
@@ -85,8 +86,10 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
     ``Xq``: (m, d) query inputs or ``None`` (LML only). ``theta_diag``
     optionally evaluates the query cross-block with a different theta
     (noise-free prediction; White contributes 0 on cross blocks so the
-    values coincide for White-only differences). All returned values
-    are bit-identical across devices (built from psum'd blocks).
+    values coincide for White-only differences). ``with_outer``
+    additionally accumulates ``qouter = (L⁻¹Kq)ᵀ(L⁻¹Kq)`` (m, m) for
+    predictive covariances. All returned values are bit-identical
+    across devices (built from psum'd blocks).
     """
     n = X.shape[0]
     m = 0 if Xq is None else Xq.shape[0]
@@ -123,7 +126,7 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
     steps = n // nb
 
     def step(k, carry):
-        K_loc, B_loc, quad, logdet, dot, qnorm = carry
+        K_loc, B_loc, quad, logdet, dot, qnorm, qouter = carry
         # int32 throughout: axis_index is int32, the fori_loop counter
         # is int64 under x64 — dynamic_slice requires matching types
         row0 = (k * nb).astype(jnp.int32)
@@ -176,19 +179,25 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
             Zq = Zk[:, 1:]
             dot = dot + jnp.sum(Zq * zy[:, None], axis=0)
             qnorm = qnorm + jnp.sum(Zq * Zq, axis=0)
-        return K_loc, B_loc, quad, logdet, dot, qnorm
+            if with_outer:
+                # near-cancelling against k(Xq,Xq) downstream: HIGHEST
+                qouter = qouter + jnp.matmul(
+                    Zq.T, Zq, precision=lax.Precision.HIGHEST
+                )
+        return K_loc, B_loc, quad, logdet, dot, qnorm, qouter
 
     zero = jnp.zeros((), K_loc.dtype)
     zm = jnp.zeros((m,), K_loc.dtype)
-    _, _, quad, logdet, dot, qnorm = lax.fori_loop(
-        0, steps, step, (K_loc, B_loc, zero, zero, zm, zm)
+    zmm = jnp.zeros((m, m) if with_outer else (0, 0), K_loc.dtype)
+    _, _, quad, logdet, dot, qnorm, qouter = lax.fori_loop(
+        0, steps, step, (K_loc, B_loc, zero, zero, zm, zm, zmm)
     )
-    return quad, logdet, dot, qnorm
+    return quad, logdet, dot, qnorm, qouter
 
 
 def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
     """shard_map body: masked LML from the distributed sweep."""
-    quad, logdet, _, _ = _sweep_strip(
+    quad, logdet, _, _, _ = _sweep_strip(
         theta, X, None, y, alpha_diag, mask,
         kernel=kernel, ax=ax, P_sz=P_sz, nb=nb,
     )
@@ -246,8 +255,9 @@ def row_sharded_predict(
     y_std=1.0,
     theta_diag=None,
     return_lml=False,
+    return_cov=False,
 ):
-    """Predictive mean/std at ``Xq`` with the gram row-sharded.
+    """Predictive mean/std (or full covariance) with the gram row-sharded.
 
     The huge-n counterpart of :func:`bask_tpu.models.gp.predict`: both
     forward solves (``L⁻¹y`` and ``L⁻¹k(X, Xq)``) ride the same
@@ -256,11 +266,12 @@ def row_sharded_predict(
 
         mean = y_mean + y_std · (L⁻¹Kq)ᵀ(L⁻¹y)
         var  = diag k(Xq, Xq) − |L⁻¹Kq|²
+        cov  = (k(Xq, Xq) − (L⁻¹Kq)ᵀ(L⁻¹Kq)) · y_std²   [return_cov]
 
     ``theta_diag``: optional separate theta for the query-side kernel
     (noise-free prediction, mirroring ``gp.predict``'s ``theta_diag``).
-    Returns ``(mean, std)`` in original y units, plus the masked LML
-    when ``return_lml`` (it falls out of the same sweep for free).
+    Returns ``(mean, std-or-cov)`` in original y units, plus the masked
+    LML when ``return_lml`` (it falls out of the same sweep for free).
     Query batches should stay ≪ n (each device carries an (n_loc, m)
     solve block).
     """
@@ -277,28 +288,66 @@ def row_sharded_predict(
     tq = theta if theta_diag is None else theta_diag
 
     def body(theta, tq, X, Xq, y, alpha_diag, mask):
-        quad, logdet, dot, qnorm = _sweep_strip(
+        quad, logdet, dot, qnorm, qouter = _sweep_strip(
             theta, X, Xq, y, alpha_diag, mask,
             kernel=kernel, ax=ax, P_sz=P_sz, nb=nb, theta_diag=tq,
+            with_outer=return_cov,
         )
         n_real = jnp.sum(mask)
         lml = -0.5 * quad - logdet - 0.5 * n_real * _LOG2PI
-        return dot, qnorm, jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+        lml = jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+        return dot, qnorm, qouter, lml
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    dot, qnorm, lml = fn(theta, tq, X, Xq, y, alpha_diag, mask)
+    dot, qnorm, qouter, lml = fn(theta, tq, X, Xq, y, alpha_diag, mask)
     mean = y_mean + y_std * dot
-    var = jnp.maximum(kernel.diag(tq, Xq) - qnorm, 0.0)
-    std = jnp.sqrt(var) * y_std
+    if return_cov:
+        uncert = (kernel.eval(tq, Xq, None) - qouter) * y_std**2
+    else:
+        var = jnp.maximum(kernel.diag(tq, Xq) - qnorm, 0.0)
+        uncert = jnp.sqrt(var) * y_std
     if return_lml:
-        return mean, std, lml
-    return mean, std
+        return mean, uncert, lml
+    return mean, uncert
+
+
+def row_sharded_sample_y(
+    kernel,
+    theta,
+    X,
+    y,
+    alpha_diag,
+    mask,
+    Xq,
+    key,
+    mesh,
+    n_samples=1,
+    nb=256,
+    y_mean=0.0,
+    y_std=1.0,
+    theta_diag=None,
+):
+    """Joint predictive draws at ``Xq`` with the gram row-sharded:
+    (m, n_samples). Mirrors :func:`bask_tpu.models.gp.sample_y`'s
+    eigendecomposition factor (exact for the rank-deficient posterior
+    covariances dense query grids produce); the (m, m) covariance comes
+    from the distributed sweep, the factorization of it is replicated
+    (m ≪ n by assumption)."""
+    mean, cov = row_sharded_predict(
+        kernel, theta, X, y, alpha_diag, mask, Xq, mesh=mesh, nb=nb,
+        y_mean=y_mean, y_std=y_std, theta_diag=theta_diag,
+        return_cov=True,
+    )
+    evals, evecs = jnp.linalg.eigh(cov)
+    factor = evecs * jnp.sqrt(jnp.maximum(evals, 0.0))[None, :]
+    z = jax.random.normal(key, (Xq.shape[0], n_samples), dtype=cov.dtype)
+    return mean[:, None] + factor @ z
 
 
 def row_sharded_lml_batch(

@@ -21,6 +21,7 @@ from bask_tpu.ops.dist_chol import (
     row_sharded_lml,
     row_sharded_lml_batch,
     row_sharded_predict,
+    row_sharded_sample_y,
     walker_row_sharded_lml,
 )
 from bask_tpu.ops.kernels import ConstantKernel, Matern, RBF, WhiteKernel
@@ -168,6 +169,48 @@ def test_predict_matches_gp_predict():
         np.asarray(std0), np.asarray(std0_ref), rtol=1e-8, atol=1e-11
     )
     assert (np.asarray(std0) <= np.asarray(std) + 1e-12).all()
+
+
+def test_predict_cov_and_sample_y_match_gp():
+    """return_cov and the distributed joint draws mirror gp.predict
+    (return_cov=True) and gp.sample_y: same covariance to 1e-8 and,
+    because both use the identical eigen-factor + standard-normal
+    construction, bit-comparable draws given the same key."""
+    mesh = _mesh()
+    kernel = _kernel()
+    X, y, alpha, mask = _problem(n_pad=128, n_real=117, seed=31)
+    theta = jnp.asarray(kernel.theta0 - 0.05)
+    y_mean, y_std = -0.2, 0.9
+    rng = np.random.RandomState(5)
+    Xq = jnp.asarray(rng.uniform(size=(9, 3)))
+    key = jax.random.PRNGKey(42)
+
+    data = gpc.make_data(X, y, alpha, mask, y_mean=y_mean, y_std=y_std)
+    post = gpc.posterior(kernel, theta, data)
+    mu_ref, cov_ref = gpc.predict(
+        kernel, theta, post, data, Xq, return_cov=True
+    )
+    mu, cov = row_sharded_predict(
+        kernel, theta, X, y, alpha, mask, Xq, mesh=mesh, nb=16,
+        y_mean=y_mean, y_std=y_std, return_cov=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu), np.asarray(mu_ref), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov), np.asarray(cov_ref), rtol=1e-8, atol=1e-10
+    )
+
+    draws_ref = gpc.sample_y(
+        kernel, theta, post, data, Xq, key, n_samples=4
+    )
+    draws = row_sharded_sample_y(
+        kernel, theta, X, y, alpha, mask, Xq, key, mesh=mesh,
+        n_samples=4, nb=16, y_mean=y_mean, y_std=y_std,
+    )
+    np.testing.assert_allclose(
+        np.asarray(draws), np.asarray(draws_ref), rtol=1e-6, atol=1e-8
+    )
 
 
 @pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
