@@ -255,6 +255,41 @@ def test_walker_row_2d_mesh_rejects_bad_shapes():
         )
 
 
+def test_fuzz_shapes_and_panels():
+    """Random (n_pad, n_real, nb, d) configs across the 8-device mesh
+    all reproduce the single-device masked LML — guards the owner/
+    panel indexing across block-boundary alignments."""
+    mesh = _mesh()
+    rng = np.random.RandomState(123)
+    for trial in range(6):
+        d = int(rng.randint(1, 4))
+        n_pad = 8 * int(rng.randint(3, 25))  # multiples of 8 in [24, 192]
+        n_real = int(rng.randint(max(2, n_pad // 2), n_pad + 1))
+        nb = int(rng.randint(2, 40))
+        kernel = ConstantKernel(1.0, (0.1, 10.0)) * Matern(
+            tuple([0.4] * d), (0.05, 5.0), nu=2.5
+        ) + WhiteKernel(0.05, (1e-5, 1e5))
+        X = np.zeros((n_pad, d))
+        X[:n_real] = rng.uniform(size=(n_real, d))
+        y = np.zeros(n_pad)
+        y[:n_real] = rng.randn(n_real)
+        mask = jnp.asarray(np.arange(n_pad) < n_real)
+        alpha = jnp.where(mask, 1e-5, 0.0)
+        theta = jnp.asarray(kernel.theta0 + 0.1 * rng.randn(kernel.n_theta))
+        Xj, yj = jnp.asarray(X), jnp.asarray(y)
+        want = float(masked_lml(kernel, theta, Xj, yj, alpha, mask))
+        got = float(
+            row_sharded_lml(
+                kernel, theta, Xj, yj, alpha, mask, mesh=mesh, nb=nb
+            )
+        )
+        assert np.isfinite(want), (trial, n_pad, n_real, nb)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-9,
+            err_msg=f"trial={trial} n_pad={n_pad} n_real={n_real} nb={nb}",
+        )
+
+
 def test_non_pd_gives_neg_inf():
     mesh = _mesh()
     kernel = ConstantKernel(1.0, (0.1, 10.0)) * Matern(
