@@ -192,6 +192,50 @@ def _chi2(shapes, loc, scale, xp):
     return logpdf
 
 
+def _rayleigh(shapes, loc, scale, xp):
+    def logpdf(x):
+        y = (x - loc) / scale
+        ysafe = xp.where(y > 0, y, 1.0)
+        val = xp.log(ysafe) - 0.5 * ysafe * ysafe - math.log(scale)
+        return xp.where(y > 0, val, -xp.inf)
+
+    return logpdf
+
+
+def _gumbel_r(shapes, loc, scale, xp):
+    def logpdf(x):
+        y = (x - loc) / scale
+        return -y - xp.exp(-y) - math.log(scale)
+
+    return logpdf
+
+
+def _weibull_min(shapes, loc, scale, xp):
+    (c,) = shapes
+    const = math.log(c) - math.log(scale)
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        ysafe = xp.where(y > 0, y, 1.0)
+        val = const + (c - 1.0) * xp.log(ysafe) - ysafe**c
+        return xp.where(y > 0, val, -xp.inf)
+
+    return logpdf
+
+
+def _pareto(shapes, loc, scale, xp):
+    (b,) = shapes
+    const = math.log(b) - math.log(scale)
+
+    def logpdf(x):
+        y = (x - loc) / scale
+        ysafe = xp.where(y >= 1, y, 1.0)
+        val = const - (b + 1.0) * xp.log(ysafe)
+        return xp.where(y >= 1, val, -xp.inf)
+
+    return logpdf
+
+
 _FAMILIES = {
     "norm": (_norm, 0),
     "halfnorm": (_halfnorm, 0),
@@ -206,6 +250,10 @@ _FAMILIES = {
     "logistic": (_logistic, 0),
     "t": (_t, 1),
     "chi2": (_chi2, 1),
+    "rayleigh": (_rayleigh, 0),
+    "gumbel_r": (_gumbel_r, 0),
+    "weibull_min": (_weibull_min, 1),
+    "pareto": (_pareto, 1),
 }
 
 
@@ -338,11 +386,12 @@ def lift_scipy_prior(p):
     except Exception:
         return None
 
-    # Probe points inside the support of every supported family
-    # ([loc, loc+scale] is the tightest: uniform/beta).
-    probes = np.asarray(
-        [loc + 0.2 * scale, loc + 0.5 * scale, loc + 0.8 * scale]
-    )
+    # Probe points inside the support: [loc, loc+scale] is the
+    # tightest for most families (uniform/beta); pareto's support only
+    # STARTS at loc+scale, so its probes sit beyond it (probing -inf
+    # against -inf would verify nothing).
+    mults = (1.2, 1.7, 2.5) if family == "pareto" else (0.2, 0.5, 0.8)
+    probes = np.asarray([loc + t * scale for t in mults])
     try:
         got = np.asarray(logpdf_np(probes), dtype=np.float64)
         want = np.asarray(ref_logpdf(probes), dtype=np.float64)

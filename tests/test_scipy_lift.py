@@ -41,6 +41,12 @@ _CASES = {
     "logistic": (sps.logistic(0.2, 0.9), np.linspace(-8, 8, 41)),
     "t": (sps.t(4.5, loc=0.1, scale=1.3), np.linspace(-8, 8, 41)),
     "chi2": (sps.chi2(3.0, scale=1.2), np.linspace(-1, 12, 41)),
+    "rayleigh": (sps.rayleigh(scale=1.4), np.linspace(-1, 8, 41)),
+    "gumbel_r": (sps.gumbel_r(0.2, 1.1), np.linspace(-6, 9, 41)),
+    "weibull_min": (
+        sps.weibull_min(1.8, scale=0.9), np.linspace(-1, 6, 41)
+    ),
+    "pareto": (sps.pareto(2.6, scale=1.3), np.linspace(0.5, 9, 41)),
 }
 
 
