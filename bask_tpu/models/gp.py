@@ -279,7 +279,17 @@ def sample_y(
     mean, cov = predict(
         kernel, theta_diag, post, data, Xq, return_cov=True, invs=invs
     )
+    return eigh_draws(mean, cov, key, n_samples)
+
+
+def eigh_draws(mean, cov, key, n_samples):
+    """Joint normal draws from (mean, cov) via the eigen-factor.
+
+    Shared by :func:`sample_y` and the row-sharded distributed path
+    (:func:`bask_tpu.ops.dist_chol.row_sharded_sample_y`) so both
+    construct draws identically (their bit-comparable-draws parity test
+    depends on it)."""
     evals, evecs = jnp.linalg.eigh(cov)
     factor = evecs * jnp.sqrt(jnp.maximum(evals, 0.0))[None, :]
-    z = jax.random.normal(key, (Xq.shape[0], n_samples), dtype=cov.dtype)
+    z = jax.random.normal(key, (mean.shape[0], n_samples), dtype=cov.dtype)
     return mean[:, None] + factor @ z

@@ -67,6 +67,19 @@ def pick_row_nb(n_loc: int, nb: int = 256) -> int:
     return nb
 
 
+def _prep_row_mesh(mesh, n: int, nb: int, fname: str):
+    """Shared entry validation: (axis name, mesh size, clamped nb)."""
+    if len(mesh.axis_names) != 1:
+        raise ValueError(f"{fname} expects a single-axis mesh")
+    ax = mesh.axis_names[0]
+    P_sz = mesh.devices.size
+    if n % P_sz:
+        raise ValueError(
+            f"n_pad={n} must be divisible by the mesh size {P_sz}"
+        )
+    return ax, P_sz, pick_row_nb(n // P_sz, nb)
+
+
 def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
                  P_sz, nb, theta_diag=None, with_outer=False):
     """One device's strip of the blocked distributed sweep.
@@ -76,7 +89,7 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
     like extra trailing columns; the query cross-block is built locally
     per strip, so nothing O(n·m) is ever replicated-then-sharded).
     Returns the reductions every caller needs:
-    ``(quad, logdet, dot, qnorm)`` with
+    ``(quad, logdet, dot, qnorm, qouter)`` with
 
     * ``quad``   = |L⁻¹y|²                         (the LML quadratic)
     * ``logdet`` = Σ log diag(L)
@@ -215,16 +228,7 @@ def row_sharded_lml(kernel, theta, X, y, alpha_diag, mask, mesh, nb=256):
     local row count). Inputs are replicated (they are O(n·d)); the
     O(n²) gram only ever exists as per-device strips.
     """
-    if len(mesh.axis_names) != 1:
-        raise ValueError("row_sharded_lml expects a single-axis mesh")
-    ax = mesh.axis_names[0]
-    P_sz = mesh.devices.size
-    n = X.shape[0]
-    if n % P_sz:
-        raise ValueError(
-            f"n_pad={n} must be divisible by the mesh size {P_sz}"
-        )
-    nb = pick_row_nb(n // P_sz, nb)
+    ax, P_sz, nb = _prep_row_mesh(mesh, X.shape[0], nb, "row_sharded_lml")
     body = partial(
         _lml_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb
     )
@@ -275,16 +279,9 @@ def row_sharded_predict(
     Query batches should stay ≪ n (each device carries an (n_loc, m)
     solve block).
     """
-    if len(mesh.axis_names) != 1:
-        raise ValueError("row_sharded_predict expects a single-axis mesh")
-    ax = mesh.axis_names[0]
-    P_sz = mesh.devices.size
-    n = X.shape[0]
-    if n % P_sz:
-        raise ValueError(
-            f"n_pad={n} must be divisible by the mesh size {P_sz}"
-        )
-    nb = pick_row_nb(n // P_sz, nb)
+    ax, P_sz, nb = _prep_row_mesh(
+        mesh, X.shape[0], nb, "row_sharded_predict"
+    )
     tq = theta if theta_diag is None else theta_diag
 
     def body(theta, tq, X, Xq, y, alpha_diag, mask):
@@ -339,15 +336,14 @@ def row_sharded_sample_y(
     covariances dense query grids produce); the (m, m) covariance comes
     from the distributed sweep, the factorization of it is replicated
     (m ≪ n by assumption)."""
+    from ..models.gp import eigh_draws
+
     mean, cov = row_sharded_predict(
         kernel, theta, X, y, alpha_diag, mask, Xq, mesh=mesh, nb=nb,
         y_mean=y_mean, y_std=y_std, theta_diag=theta_diag,
         return_cov=True,
     )
-    evals, evecs = jnp.linalg.eigh(cov)
-    factor = evecs * jnp.sqrt(jnp.maximum(evals, 0.0))[None, :]
-    z = jax.random.normal(key, (Xq.shape[0], n_samples), dtype=cov.dtype)
-    return mean[:, None] + factor @ z
+    return eigh_draws(mean, cov, key, n_samples)
 
 
 def row_sharded_lml_batch(
@@ -359,16 +355,9 @@ def row_sharded_lml_batch(
     that one gram strains a chip — there, walker-axis parallelism is
     already out of memory and the mesh's parallelism goes to the rows.
     """
-    if len(mesh.axis_names) != 1:
-        raise ValueError("row_sharded_lml_batch expects a single-axis mesh")
-    ax = mesh.axis_names[0]
-    P_sz = mesh.devices.size
-    n = X.shape[0]
-    if n % P_sz:
-        raise ValueError(
-            f"n_pad={n} must be divisible by the mesh size {P_sz}"
-        )
-    nb = pick_row_nb(n // P_sz, nb)
+    ax, P_sz, nb = _prep_row_mesh(
+        mesh, X.shape[0], nb, "row_sharded_lml_batch"
+    )
     body = partial(
         _lml_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb
     )

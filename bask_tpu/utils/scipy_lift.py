@@ -236,24 +236,33 @@ def _pareto(shapes, loc, scale, xp):
     return logpdf
 
 
+# Verification-probe positions, as multiples of scale offset from loc.
+# [loc, loc+scale] is inside the support of most families (uniform/beta
+# are the tightest), so the default probes land in (loc, loc+scale).
+# A family whose support does NOT cover that interval must carry its
+# own multipliers — probing -inf against -inf verifies nothing (pareto's
+# support only starts at loc+scale).
+_DEFAULT_PROBES = (0.2, 0.5, 0.8)
+
+# family → (builder, n_shape_params, probe multipliers)
 _FAMILIES = {
-    "norm": (_norm, 0),
-    "halfnorm": (_halfnorm, 0),
-    "uniform": (_uniform, 0),
-    "expon": (_expon, 0),
-    "gamma": (_gamma, 1),
-    "invgamma": (_invgamma, 1),
-    "lognorm": (_lognorm, 1),
-    "beta": (_beta, 2),
-    "cauchy": (_cauchy, 0),
-    "laplace": (_laplace, 0),
-    "logistic": (_logistic, 0),
-    "t": (_t, 1),
-    "chi2": (_chi2, 1),
-    "rayleigh": (_rayleigh, 0),
-    "gumbel_r": (_gumbel_r, 0),
-    "weibull_min": (_weibull_min, 1),
-    "pareto": (_pareto, 1),
+    "norm": (_norm, 0, _DEFAULT_PROBES),
+    "halfnorm": (_halfnorm, 0, _DEFAULT_PROBES),
+    "uniform": (_uniform, 0, _DEFAULT_PROBES),
+    "expon": (_expon, 0, _DEFAULT_PROBES),
+    "gamma": (_gamma, 1, _DEFAULT_PROBES),
+    "invgamma": (_invgamma, 1, _DEFAULT_PROBES),
+    "lognorm": (_lognorm, 1, _DEFAULT_PROBES),
+    "beta": (_beta, 2, _DEFAULT_PROBES),
+    "cauchy": (_cauchy, 0, _DEFAULT_PROBES),
+    "laplace": (_laplace, 0, _DEFAULT_PROBES),
+    "logistic": (_logistic, 0, _DEFAULT_PROBES),
+    "t": (_t, 1, _DEFAULT_PROBES),
+    "chi2": (_chi2, 1, _DEFAULT_PROBES),
+    "rayleigh": (_rayleigh, 0, _DEFAULT_PROBES),
+    "gumbel_r": (_gumbel_r, 0, _DEFAULT_PROBES),
+    "weibull_min": (_weibull_min, 1, _DEFAULT_PROBES),
+    "pareto": (_pareto, 1, (1.2, 1.7, 2.5)),
 }
 
 
@@ -378,7 +387,7 @@ def lift_scipy_prior(p):
     if resolved is None:
         return None
     family, shapes, loc, scale, ref_logpdf = resolved
-    builder, n_shapes = _FAMILIES[family]
+    builder, n_shapes, mults = _FAMILIES[family]
     if len(shapes) != n_shapes:
         return None
     try:
@@ -386,11 +395,7 @@ def lift_scipy_prior(p):
     except Exception:
         return None
 
-    # Probe points inside the support: [loc, loc+scale] is the
-    # tightest for most families (uniform/beta); pareto's support only
-    # STARTS at loc+scale, so its probes sit beyond it (probing -inf
-    # against -inf would verify nothing).
-    mults = (1.2, 1.7, 2.5) if family == "pareto" else (0.2, 0.5, 0.8)
+    # Probe points inside the family's support (see _FAMILIES).
     probes = np.asarray([loc + t * scale for t in mults])
     try:
         got = np.asarray(logpdf_np(probes), dtype=np.float64)

@@ -171,9 +171,10 @@ def bench_tpu():
                     "complete within BENCH_DEVICE_TIMEOUT (TPU tunnel hung?)",
                     # context only, NOT a fresh measurement: the last
                     # completed hardware run of this same bench
-                    # (v5e-1, 2026-08-17, BASELINE.md round-3 log)
-                    "last_measured_value": 2.363,
-                    "last_measured_vs_baseline": 91.8,
+                    # (v5e-1, 2026-08-17, BASELINE.md north-star row —
+                    # the Pallas fused-base run)
+                    "last_measured_value": 0.803,
+                    "last_measured_vs_baseline": 270.0,
                     "last_measured_date": "2026-08-17",
                 }
             )

@@ -58,3 +58,4 @@ def test_two_process_chain_parity():
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert "multihost chain parity OK" in out, out
         assert "candidate-shard acquisition parity OK" in out, out
+        assert "row-sharded LML parity OK" in out, out
