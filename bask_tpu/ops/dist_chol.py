@@ -30,10 +30,12 @@ the reference's ValueError→-inf semantics
 
 The reference has no distributed execution at all (single-process
 NumPy, SURVEY §2 absent-rows); this is the TPU-native scaling path for
-n beyond one chip's HBM. Known headroom: the trailing update computes
-the full (n_loc, n) rectangle each step (~2× the trapezoid flops) —
-acceptable for a capability path; tighten with two-level blocking if
-it ever dominates.
+n beyond one chip's HBM. The default ``fori_loop`` sweep's trailing
+update computes the full (n_loc, n) rectangle each step (~2× the
+trapezoid flops — the price of static shapes in a loop);
+``unroll=True`` switches to a statically-indexed unrolled sweep that
+updates only the true trapezoid, at the cost of one HLO step copy per
+panel (use for moderate n/nb).
 """
 
 from __future__ import annotations
@@ -81,7 +83,8 @@ def _prep_row_mesh(mesh, n: int, nb: int, fname: str):
 
 
 def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
-                 P_sz, nb, theta_diag=None, with_outer=False):
+                 P_sz, nb, theta_diag=None, with_outer=False,
+                 unroll=False):
     """One device's strip of the blocked distributed sweep.
 
     Factorizes the row-sharded masked gram while forward-solving
@@ -103,6 +106,16 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
     additionally accumulates ``qouter = (L⁻¹Kq)ᵀ(L⁻¹Kq)`` (m, m) for
     predictive covariances. All returned values are bit-identical
     across devices (built from psum'd blocks).
+
+    ``unroll=True`` replaces the ``fori_loop`` with a Python-unrolled
+    sweep whose panel indices are static: the block owner and its local
+    offset become compile-time constants (static slicing instead of
+    dynamic_slice) and — the point — the trailing Schur update touches
+    only the remaining ``n − row0 − nb`` columns instead of computing
+    the full (n_loc, n) rectangle and masking, halving the sweep's
+    flops and its HBM write traffic. Costs one HLO copy of the step
+    per panel, so keep it for moderate step counts (n/nb ≲ 128);
+    results match the loop path to float round-off.
     """
     n = X.shape[0]
     m = 0 if Xq is None else Xq.shape[0]
@@ -202,24 +215,83 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
     zero = jnp.zeros((), K_loc.dtype)
     zm = jnp.zeros((m,), K_loc.dtype)
     zmm = jnp.zeros((m, m) if with_outer else (0, 0), K_loc.dtype)
-    _, _, quad, logdet, dot, qnorm, qouter = lax.fori_loop(
-        0, steps, step, (K_loc, B_loc, zero, zero, zm, zm, zmm)
-    )
+
+    if not unroll:
+        _, _, quad, logdet, dot, qnorm, qouter = lax.fori_loop(
+            0, steps, step, (K_loc, B_loc, zero, zero, zm, zm, zmm)
+        )
+        return quad, logdet, dot, qnorm, qouter
+
+    # --- static-index unrolled sweep: trapezoid-only trailing update ---
+    quad, logdet, dot, qnorm, qouter = zero, zero, zm, zm, zmm
+    for k in range(steps):
+        row0 = k * nb  # static
+        owner = row0 // n_loc  # static: strips are contiguous blocks
+        loc0 = row0 - owner * n_loc  # static local offset on the owner
+        is_owner = p == owner
+
+        Akk = lax.psum(
+            jnp.where(
+                is_owner,
+                K_loc[loc0:loc0 + nb, row0:row0 + nb],
+                0.0,
+            ),
+            ax,
+        )
+        Bk = lax.psum(
+            jnp.where(is_owner, B_loc[loc0:loc0 + nb, :], 0.0), ax
+        )
+        Lkk = jnp.linalg.cholesky(Akk)
+        Zk = solve_triangular(Lkk, Bk, lower=True)
+        LinvT = solve_triangular(Lkk, eye_nb, lower=True).T
+
+        Pl = jnp.matmul(
+            K_loc[:, row0:row0 + nb], LinvT,
+            precision=lax.Precision.HIGHEST,
+        )
+        below = rows_g >= row0 + nb
+        Pl = jnp.where(below[:, None], Pl, 0.0)
+
+        P_full = lax.all_gather(Pl, ax, tiled=True)  # (n, nb)
+        w = n - row0 - nb  # static trailing width
+        if w:
+            Ut = jnp.matmul(
+                Pl, P_full[row0 + nb:, :].T,
+                precision=lax.Precision.HIGHEST,
+            )  # (n_loc, w): the trapezoid only
+            K_loc = K_loc.at[:, row0 + nb:].add(-Ut)
+        B_loc = B_loc - jnp.matmul(
+            Pl, Zk, precision=lax.Precision.HIGHEST
+        )
+
+        zy = Zk[:, 0]
+        quad = quad + jnp.sum(zy * zy)
+        logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))
+        if m:
+            Zq = Zk[:, 1:]
+            dot = dot + jnp.sum(Zq * zy[:, None], axis=0)
+            qnorm = qnorm + jnp.sum(Zq * Zq, axis=0)
+            if with_outer:
+                qouter = qouter + jnp.matmul(
+                    Zq.T, Zq, precision=lax.Precision.HIGHEST
+                )
     return quad, logdet, dot, qnorm, qouter
 
 
-def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz, nb):
+def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz,
+                    nb, unroll=False):
     """shard_map body: masked LML from the distributed sweep."""
     quad, logdet, _, _, _ = _sweep_strip(
         theta, X, None, y, alpha_diag, mask,
-        kernel=kernel, ax=ax, P_sz=P_sz, nb=nb,
+        kernel=kernel, ax=ax, P_sz=P_sz, nb=nb, unroll=unroll,
     )
     n_real = jnp.sum(mask)
     lml = -0.5 * quad - logdet - 0.5 * n_real * _LOG2PI
     return jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
 
 
-def row_sharded_lml(kernel, theta, X, y, alpha_diag, mask, mesh, nb=256):
+def row_sharded_lml(kernel, theta, X, y, alpha_diag, mask, mesh, nb=256,
+                    unroll=False):
     """Masked LML of one theta with the gram row-sharded over ``mesh``.
 
     Parameters mirror :func:`bask_tpu.ops.linalg.masked_lml`; ``mesh``
@@ -230,7 +302,8 @@ def row_sharded_lml(kernel, theta, X, y, alpha_diag, mask, mesh, nb=256):
     """
     ax, P_sz, nb = _prep_row_mesh(mesh, X.shape[0], nb, "row_sharded_lml")
     body = partial(
-        _lml_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb
+        _lml_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb,
+        unroll=unroll,
     )
     # check_vma=False: outputs are built from psum'd values and are
     # bit-identical across devices (same convention as batched_lml's
@@ -260,6 +333,7 @@ def row_sharded_predict(
     theta_diag=None,
     return_lml=False,
     return_cov=False,
+    unroll=False,
 ):
     """Predictive mean/std (or full covariance) with the gram row-sharded.
 
@@ -288,7 +362,7 @@ def row_sharded_predict(
         quad, logdet, dot, qnorm, qouter = _sweep_strip(
             theta, X, Xq, y, alpha_diag, mask,
             kernel=kernel, ax=ax, P_sz=P_sz, nb=nb, theta_diag=tq,
-            with_outer=return_cov,
+            with_outer=return_cov, unroll=unroll,
         )
         n_real = jnp.sum(mask)
         lml = -0.5 * quad - logdet - 0.5 * n_real * _LOG2PI
@@ -347,7 +421,7 @@ def row_sharded_sample_y(
 
 
 def row_sharded_lml_batch(
-    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256
+    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256, unroll=False
 ):
     """(W, n_theta) → (W,) LMLs, each factorization row-sharded.
 
@@ -359,7 +433,8 @@ def row_sharded_lml_batch(
         mesh, X.shape[0], nb, "row_sharded_lml_batch"
     )
     body = partial(
-        _lml_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb
+        _lml_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb,
+        unroll=unroll,
     )
 
     def mapped(thetas, X, y, alpha_diag, mask):
@@ -378,7 +453,7 @@ def row_sharded_lml_batch(
 
 
 def walker_row_sharded_lml(
-    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256
+    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256, unroll=False
 ):
     """(W, n_theta) → (W,) LMLs on a 2-D (walker × row) mesh.
 
@@ -415,7 +490,8 @@ def walker_row_sharded_lml(
         )
     nb = pick_row_nb(n // P_sz, nb)
     body = partial(
-        _lml_strip_body, kernel=kernel, ax=r_ax, P_sz=P_sz, nb=nb
+        _lml_strip_body, kernel=kernel, ax=r_ax, P_sz=P_sz, nb=nb,
+        unroll=unroll,
     )
 
     def mapped(thetas_loc, X, y, alpha_diag, mask):

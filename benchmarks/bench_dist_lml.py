@@ -9,6 +9,7 @@ collectives degenerate to copies) and an A/B against ``masked_lml``
 bounds the cost of the sharded formulation:
 
     python benchmarks/bench_dist_lml.py 4096 sharded
+    python benchmarks/bench_dist_lml.py 4096 sharded-unroll
     python benchmarks/bench_dist_lml.py 4096 plain
 
 One variant per process (axon timing rule); K evals inside one
@@ -60,16 +61,25 @@ def main():
             kernel, t, X, y, alpha, mask, mesh=mesh, nb=nb
         )
 
+    def sharded_unroll(t):
+        return row_sharded_lml(
+            kernel, t, X, y, alpha, mask, mesh=mesh, nb=nb, unroll=True
+        )
+
     def plain(t):
         return linalg.masked_lml(kernel, t, X, y, alpha, mask)
 
-    fn = {"sharded": sharded, "plain": plain}[variant]
+    fn = {
+        "sharded": sharded,
+        "sharded-unroll": sharded_unroll,
+        "plain": plain,
+    }[variant]
 
     # Exactness: only in the sharded process, and at a SMALL n (the
     # timed-shape compiles cost minutes each through the tunnel; the
     # plain process must never compile the sharded program — one
     # variant per process is the point of the A/B).
-    if variant == "sharded":
+    if variant.startswith("sharded"):
         nc = 512
         Xc_, yc_ = X[:nc], y[:nc]
         ac_, mc_ = alpha[:nc], mask[:nc]

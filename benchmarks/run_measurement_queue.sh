@@ -29,6 +29,7 @@ run python benchmarks/bench_chol_variants.py blocked-nb256
 run python benchmarks/bench_chol_breakdown.py full-panel512
 run python benchmarks/bench_dist_lml.py 4096 plain
 run python benchmarks/bench_dist_lml.py 4096 sharded
+run python benchmarks/bench_dist_lml.py 4096 sharded-unroll
 run python bench.py
 run python examples/production_loop.py
 echo "QUEUE DONE $(date)" >> $LOG

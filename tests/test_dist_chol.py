@@ -255,6 +255,42 @@ def test_walker_row_2d_mesh_rejects_bad_shapes():
         )
 
 
+def test_unrolled_sweep_matches_loop():
+    """unroll=True (static-index trapezoid updates) reproduces the
+    fori_loop sweep to round-off across LML, predict, and cov."""
+    mesh = _mesh()
+    kernel = _kernel()
+    X, y, alpha, mask = _problem(n_pad=192, n_real=177, seed=41)
+    theta = jnp.asarray(kernel.theta0 + 0.03)
+    rng = np.random.RandomState(8)
+    Xq = jnp.asarray(rng.uniform(size=(7, 3)))
+
+    lml_loop = float(
+        row_sharded_lml(kernel, theta, X, y, alpha, mask, mesh=mesh, nb=24)
+    )
+    lml_unroll = float(
+        row_sharded_lml(
+            kernel, theta, X, y, alpha, mask, mesh=mesh, nb=24,
+            unroll=True,
+        )
+    )
+    np.testing.assert_allclose(lml_unroll, lml_loop, rtol=1e-12)
+
+    out_loop = row_sharded_predict(
+        kernel, theta, X, y, alpha, mask, Xq, mesh=mesh, nb=24,
+        y_mean=0.4, y_std=1.3, return_cov=True, return_lml=True,
+    )
+    out_unroll = row_sharded_predict(
+        kernel, theta, X, y, alpha, mask, Xq, mesh=mesh, nb=24,
+        y_mean=0.4, y_std=1.3, return_cov=True, return_lml=True,
+        unroll=True,
+    )
+    for a, b in zip(out_unroll, out_loop):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13
+        )
+
+
 def test_fuzz_shapes_and_panels():
     """Random (n_pad, n_real, nb, d) configs across the 8-device mesh
     all reproduce the single-device masked LML — guards the owner/
