@@ -179,7 +179,9 @@ def _make_log_prob(kernel, priors, warp_prior, n_warp, data):
     return log_prob
 
 
-def _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data, mesh=None):
+def _make_log_prob_batch(
+    kernel, priors, warp_prior, n_warp, data, mesh=None, row_cfg=None
+):
     """Batched (W, D) -> (W,) log-probability for the ensemble sampler.
 
     The prior/warp terms are vmapped (trivial); the LML batch goes
@@ -189,6 +191,14 @@ def _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data, mesh=None):
     per-walker LML pipeline an explicit ``shard_map`` over the walker
     axis (the Pallas gram is a custom call GSPMD cannot partition — see
     ``batched_lml``).
+
+    ``row_cfg``: optional ``(row_mesh, nb, unroll)`` — the huge-n mode
+    (``BayesGPR(row_mesh=...)``): each walker's LML comes from the
+    row-sharded distributed factorization sweep (no (n, n) gram ever
+    materializes on one device; :mod:`bask_tpu.ops.dist_chol`). A
+    two-axis row mesh additionally data-parallelizes the walker batch
+    over its first axis. Mutually exclusive with ``mesh`` and with
+    input warping (guarded in ``BayesGPR``).
     """
     from ..ops.linalg import batched_lml
 
@@ -211,10 +221,27 @@ def _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data, mesh=None):
             lp = jnp.zeros(xs.shape[0], dtype=xs.dtype)
             Xb = data.X
         lp = lp + jax.vmap(lambda t: _eval_priors(priors, t))(theta_gp)
-        lml = batched_lml(
-            kernel, theta_gp, Xb, data.y, data.alpha_diag, data.mask,
-            mesh=mesh,
-        )
+        if row_cfg is not None:
+            from ..ops.dist_chol import (
+                row_sharded_lml_batch,
+                walker_row_sharded_lml,
+            )
+
+            row_mesh, row_nb, row_unroll = row_cfg
+            lml_fn = (
+                walker_row_sharded_lml
+                if len(row_mesh.axis_names) == 2
+                else row_sharded_lml_batch
+            )
+            lml = lml_fn(
+                kernel, theta_gp, Xb, data.y, data.alpha_diag, data.mask,
+                mesh=row_mesh, nb=row_nb, unroll=row_unroll,
+            )
+        else:
+            lml = batched_lml(
+                kernel, theta_gp, Xb, data.y, data.alpha_diag, data.mask,
+                mesh=mesh,
+            )
         total = lp + lml
         return jnp.where(jnp.isfinite(total), total, -jnp.inf)
 
@@ -230,40 +257,47 @@ def _make_log_prob_batch(kernel, priors, warp_prior, n_warp, data, mesh=None):
 @partial(
     jax.jit,
     static_argnames=(
-        "kernel", "priors", "warp_prior", "n_warp", "n_steps", "a", "mesh"
+        "kernel", "priors", "warp_prior", "n_warp", "n_steps", "a", "mesh",
+        "row_cfg",
     ),
 )
 def _run_chain(
     data, pos0, key, *,
     kernel, priors, warp_prior, n_warp, n_steps, a=2.0, mesh=None,
+    row_cfg=None,
 ):
     log_prob = _make_log_prob_batch(
-        kernel, priors, warp_prior, n_warp, data, mesh=mesh
+        kernel, priors, warp_prior, n_warp, data, mesh=mesh, row_cfg=row_cfg
     )
     return run_ensemble(log_prob, pos0, key, n_steps, a=a)
 
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "priors", "warp_prior", "n_warp", "mesh"),
+    static_argnames=(
+        "kernel", "priors", "warp_prior", "n_warp", "mesh", "row_cfg"
+    ),
 )
 def _init_chain_state(
-    data, pos, *, kernel, priors, warp_prior, n_warp, mesh=None
+    data, pos, *, kernel, priors, warp_prior, n_warp, mesh=None, row_cfg=None
 ):
     from ..parallel.mcmc import init_ensemble
 
     log_prob = _make_log_prob_batch(
-        kernel, priors, warp_prior, n_warp, data, mesh=mesh
+        kernel, priors, warp_prior, n_warp, data, mesh=mesh, row_cfg=row_cfg
     )
     return init_ensemble(log_prob, pos)
 
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "priors", "warp_prior", "n_warp", "a", "mesh"),
+    static_argnames=(
+        "kernel", "priors", "warp_prior", "n_warp", "a", "mesh", "row_cfg"
+    ),
 )
 def _run_chain_chunk(
-    data, state, keys, *, kernel, priors, warp_prior, n_warp, a=2.0, mesh=None
+    data, state, keys, *, kernel, priors, warp_prior, n_warp, a=2.0,
+    mesh=None, row_cfg=None,
 ):
     """Advance an existing ensemble state by ``len(keys)`` steps.
 
@@ -274,7 +308,7 @@ def _run_chain_chunk(
     from ..parallel.mcmc import stretch_step
 
     log_prob = _make_log_prob_batch(
-        kernel, priors, warp_prior, n_warp, data, mesh=mesh
+        kernel, priors, warp_prior, n_warp, data, mesh=mesh, row_cfg=row_cfg
     )
 
     def step(s, k):
@@ -411,6 +445,73 @@ def _posterior_robust(theta, data, *, kernel):
 def _lml_value(theta, data, *, kernel):
     """Jitted scalar LML (one dispatch instead of an eager op chain)."""
     return gpc.log_marginal_likelihood(kernel, theta, data)
+
+
+# -- row-sharded (huge-n) entry points ------------------------------------
+#
+# BayesGPR(row_mesh=...) never materializes an (n_pad, n_pad) factor:
+# the consensus LML, ML-II gradients, predictions, and joint draws all
+# re-run the distributed factorization sweep (ops/dist_chol) per call.
+# row_cfg = (mesh, nb, unroll) is one hashable static tuple.
+
+
+@partial(jax.jit, static_argnames=("kernel", "row_cfg"))
+def _row_lml_value(theta, data, *, kernel, row_cfg):
+    from ..ops.dist_chol import row_sharded_lml
+
+    mesh, nb, unroll = row_cfg
+    return row_sharded_lml(
+        kernel, theta, data.X, data.y, data.alpha_diag, data.mask,
+        mesh, nb=nb, unroll=unroll,
+    )
+
+
+@partial(jax.jit, static_argnames=("kernel", "row_cfg"))
+def _row_lml_value_grad(theta, data, *, kernel, row_cfg):
+    """Negated LML value+grad packed as [value, grad...] — the row-mode
+    counterpart of :func:`_lml_value_grad` (forward-mode through the
+    sweep; see ``dist_chol.row_sharded_lml_value_grad``)."""
+    from ..ops.dist_chol import row_sharded_lml_value_grad
+
+    mesh, nb, unroll = row_cfg
+    v, g = row_sharded_lml_value_grad(
+        kernel, theta, data.X, data.y, data.alpha_diag, data.mask,
+        mesh, nb=nb, unroll=unroll,
+    )
+    return jnp.concatenate([(-v)[None], -g])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "row_cfg", "return_cov", "with_lml"),
+)
+def _row_predict(
+    theta, theta_diag, data, Xq, *, kernel, row_cfg, return_cov=False,
+    with_lml=False,
+):
+    from ..ops.dist_chol import row_sharded_predict
+
+    mesh, nb, unroll = row_cfg
+    return row_sharded_predict(
+        kernel, theta, data.X, data.y, data.alpha_diag, data.mask, Xq,
+        mesh=mesh, nb=nb, y_mean=data.y_mean, y_std=data.y_std,
+        theta_diag=theta_diag, return_lml=with_lml,
+        return_cov=return_cov, unroll=unroll,
+    )
+
+
+@partial(jax.jit, static_argnames=("kernel", "row_cfg", "n_samples"))
+def _row_sample_y(
+    theta, theta_diag, data, Xq, key, *, kernel, row_cfg, n_samples
+):
+    from ..ops.dist_chol import row_sharded_sample_y
+
+    mesh, nb, _ = row_cfg
+    return row_sharded_sample_y(
+        kernel, theta, data.X, data.y, data.alpha_diag, data.mask, Xq,
+        key, mesh=mesh, n_samples=n_samples, nb=nb, y_mean=data.y_mean,
+        y_std=data.y_std, theta_diag=theta_diag,
+    )
 
 
 def _consensus_body(kernel, n_warp, theta, la, lb, data, with_lml=True):
@@ -696,6 +797,9 @@ class BayesGPR:
         random_state=None,
         noise: Optional[str] = "gaussian",
         host_prior_mode: str = "callback",
+        row_mesh=None,
+        row_nb: int = 256,
+        row_unroll: bool = False,
     ):
         if kernel is None:
             kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
@@ -716,6 +820,25 @@ class BayesGPR:
                 f"tabulation), got {host_prior_mode!r}"
             )
         self.host_prior_mode = host_prior_mode
+        if row_mesh is not None:
+            # huge-n mode: every factorization is row-sharded over this
+            # mesh (ops/dist_chol) and no (n, n) factor is ever stored.
+            # 1 axis = rows only; 2 axes = (walkers, rows).
+            if len(row_mesh.axis_names) not in (1, 2):
+                raise ValueError(
+                    "row_mesh must have one (rows) or two (walkers, rows) "
+                    f"axes, got {row_mesh.axis_names}"
+                )
+            if warp_inputs:
+                raise ValueError(
+                    "row_mesh is incompatible with warp_inputs: the "
+                    "distributed sweep builds gram strips from one "
+                    "replicated X, but warping makes X per-walker. "
+                    "Use mesh= walker sharding for warped models."
+                )
+        self.row_mesh = row_mesh
+        self.row_nb = int(row_nb)
+        self.row_unroll = bool(row_unroll)
         if isinstance(random_state, np.random.RandomState):
             self.random_state = random_state
         else:
@@ -848,6 +971,33 @@ class BayesGPR:
     def _dtype(self):
         return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
+    def _row_cfg(self):
+        """Hashable (mesh, nb, unroll) static for the row-sharded jits,
+        or ``None`` when row mode is off (or detached after unpickling)."""
+        if self.row_mesh is None:
+            return None
+        return (self.row_mesh, self.row_nb, self.row_unroll)
+
+    def __getstate__(self):
+        """Meshes hold device handles and cannot cross processes; pickles
+        carry ``row_mesh=None`` (reattach by assigning ``.row_mesh`` on
+        the loaded instance — all other row-mode state survives). A
+        deferred fused-sample blob is device memory and is dropped too
+        (it only ever exists inside ``Optimizer.tell``)."""
+        state = self.__dict__.copy()
+        if state.get("row_mesh") is not None:
+            state["row_mesh"] = None
+        state["_pending"] = None
+        return state
+
+    def __setstate__(self, state):
+        # defaults for payloads pickled before these attributes existed
+        state.setdefault("row_mesh", None)
+        state.setdefault("row_nb", 256)
+        state.setdefault("row_unroll", False)
+        state.setdefault("_pending", None)
+        self.__dict__.update(state)
+
     def _set_data(self, X, y, noise_vector):
         X = np.atleast_2d(np.asarray(X, dtype=float))
         y = np.asarray(y, dtype=float).ravel()
@@ -902,6 +1052,23 @@ class BayesGPR:
             return
         data = self._data
         dt = data.X.dtype
+        if self.row_mesh is not None:
+            # row-sharded mode: no (n_pad, n_pad) factor is ever
+            # materialized — predictions re-run the distributed sweep
+            # per call; the consensus LML comes from one sweep here.
+            self._post = None
+            self._post_data = data
+            self._consensus_lml_ = (
+                _row_lml_value(
+                    jnp.asarray(self._theta, dtype=dt),
+                    data,
+                    kernel=self._spec,
+                    row_cfg=self._row_cfg(),
+                )
+                if with_lml
+                else None
+            )
+            return
         if self.warp_inputs and self.warp_alphas_ is not None:
             n_warp = self._X_orig.shape[1]
             la = jnp.asarray(self.warp_alphas_, dtype=dt)
@@ -948,7 +1115,15 @@ class BayesGPR:
                 self.random_state.uniform(bounds[:, 0], bounds[:, 1])
             )
 
-        if self.optimizer == "lbfgs-device":
+        if self.optimizer == "lbfgs-device" and self.row_mesh is not None:
+            warnings.warn(
+                "optimizer='lbfgs-device' differentiates the whole-gram "
+                "XLA path, which row-sharded mode exists to avoid; "
+                "using the host L-BFGS-B driver with forward-mode "
+                "distributed gradients instead.",
+                UserWarning,
+            )
+        elif self.optimizer == "lbfgs-device":
             ok_bounds = bool(
                 np.isfinite(bounds).all()
                 and (bounds[:, 1] > bounds[:, 0]).all()
@@ -977,16 +1152,22 @@ class BayesGPR:
 
         from scipy.optimize import minimize
 
+        row_cfg = self._row_cfg()
+
         def obj(t):
-            vg = np.asarray(
-                aot_call(
+            if row_cfg is not None:
+                vg_dev = _row_lml_value_grad(
+                    jnp.asarray(t, dtype=dt), data,
+                    kernel=kernel, row_cfg=row_cfg,
+                )
+            else:
+                vg_dev = aot_call(
                     _lml_value_grad,
                     jnp.asarray(t, dtype=dt),
                     data,
                     kernel=kernel,
-                ),
-                dtype=float,
-            )
+                )
+            vg = np.asarray(vg_dev, dtype=float)
             v, g = float(vg[0]), vg[1:]
             if not np.isfinite(v):
                 return 1e25, np.zeros_like(g)
@@ -1167,6 +1348,14 @@ class BayesGPR:
         stretch move's complementary-half gather becomes the only
         collective). Results are identical to the unsharded run.
 
+        A model constructed with ``row_mesh=`` (huge-n mode) instead
+        row-shards every walker's factorization over the mesh
+        (:mod:`bask_tpu.ops.dist_chol`): no (n_pad, n_pad) gram ever
+        materializes on one device. A two-axis row mesh additionally
+        data-parallelizes the walkers over its first axis. ``mesh=`` is
+        rejected there, and the fused single-program path is skipped
+        (it factorizes the consensus posterior in-program).
+
         ``warn_rhat``: optional convergence guard — when set, a
         ``UserWarning`` is raised if the retained step-major chain's
         maximum split R-hat exceeds it (a typical threshold is 1.1; the
@@ -1206,11 +1395,23 @@ class BayesGPR:
         n_walkers = max(2, n_threads * n_walkers_per_thread)
         if n_walkers % 2:
             n_walkers += 1
+        row_cfg = self._row_cfg()
+        if row_cfg is not None and mesh is not None:
+            raise ValueError(
+                "mesh= and row_mesh are mutually exclusive: use a "
+                "two-axis row_mesh=(walkers, rows) to combine walker "
+                "data-parallelism with row-sharded factorizations."
+            )
         if mesh is not None:
             # each complementary HALF-ensemble must shard evenly across
             # the mesh: round the walker count up to a multiple of
             # 2 * n_devices (e.g. 100 walkers on 8 devices -> 112)
             m = 2 * int(np.prod(list(mesh.shape.values())))
+            n_walkers = -(-n_walkers // m) * m
+        if row_cfg is not None and len(self.row_mesh.axis_names) == 2:
+            # the stretch move evaluates HALF-ensembles: each half must
+            # shard evenly over the row mesh's walker axis
+            m = 2 * int(self.row_mesh.shape[self.row_mesh.axis_names[0]])
             n_walkers = -(-n_walkers // m) * m
         n_steps = int(math.ceil(n_desired_samples / n_walkers)) + n_burnin
 
@@ -1251,6 +1452,9 @@ class BayesGPR:
             FUSED_SAMPLE == "on"
             and not progress
             and not add
+            # the fused program factorizes the consensus (n, n) posterior
+            # in-program — exactly what row-sharded mode must never do
+            and row_cfg is None
         )
         if use_fused:
             # ONE device program: chain -> median -> posterior -> LML
@@ -1339,6 +1543,7 @@ class BayesGPR:
                 warp_prior=warp_priors,
                 n_warp=n_warp,
                 mesh=mesh,
+                row_cfg=row_cfg,
             )
             chunk = 8
             parts = []
@@ -1357,6 +1562,7 @@ class BayesGPR:
                     n_warp=n_warp,
                     a=a_scale,
                     mesh=mesh,
+                    row_cfg=row_cfg,
                 )
                 parts.append(part)
                 i += ks.shape[0]
@@ -1377,6 +1583,7 @@ class BayesGPR:
                 n_steps=n_steps,
                 a=a_scale,
                 mesh=mesh,
+                row_cfg=row_cfg,
             )
         flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
         # same kept-step selection as flatten_chain (emcee semantics)
@@ -1633,6 +1840,10 @@ class BayesGPR:
             self._noise_zero = prev
 
     def _is_fitted(self) -> bool:
+        if self.row_mesh is not None:
+            # row-sharded mode keeps no factorized posterior; fitted
+            # means a consensus theta exists over uploaded data
+            return self._theta is not None and self._data is not None
         return self._post is not None and self._theta is not None
 
     def _prior_kernel_theta(self):
@@ -1719,6 +1930,27 @@ class BayesGPR:
             from ..utils.validation import validate_zeroone
 
             validate_zeroone(np.asarray(X))
+        if self.row_mesh is not None:
+            if return_mean_grad or return_std_grad:
+                raise NotImplementedError(
+                    "prediction gradients are not available in "
+                    "row-sharded mode (no stored factor to "
+                    "differentiate against); evaluate finite "
+                    "differences of predict() if needed."
+                )
+            mean, unc = _row_predict(
+                jnp.asarray(self._theta, dtype=self._dtype()),
+                self._theta_diag(),
+                self._data,
+                X,
+                kernel=self._spec,
+                row_cfg=self._row_cfg(),
+                return_cov=return_cov,
+            )
+            mean = np.asarray(mean)
+            if return_std or return_cov:
+                return mean, np.asarray(unc)
+            return mean
         wa, wb, n_warp = self._warp_params()
         out = aot_call(
             _predict,
@@ -1810,6 +2042,40 @@ class BayesGPR:
         dt = self._dtype()
         X = jnp.asarray(np.atleast_2d(X), dtype=dt)
         widx = self.white_index_
+        if self.row_mesh is not None:
+            cfg = self._row_cfg()
+            theta = jnp.asarray(self._theta, dtype=dt)
+            if sample_mean:
+                td = theta if noise else gpc.noise_free_theta(
+                    self._spec, theta, widx
+                )
+                return np.asarray(
+                    _row_sample_y(
+                        theta, td, self._data, X, key,
+                        kernel=self._spec, row_cfg=cfg,
+                        n_samples=n_samples,
+                    )
+                )
+            # marginalized draws: each sample's theta is a chain row, so
+            # each needs its OWN distributed sweep — a host loop of
+            # n_samples device programs. Honest cost of marginalization
+            # at n beyond one chip; prefer sample_mean=True or small
+            # n_samples here.
+            rs = np.random.RandomState(seed)
+            idx = rs.choice(len(self.chain_), size=n_samples, replace=True)
+            keys = jax.random.split(key, n_samples)
+            cols = []
+            for i, ki in zip(idx, keys):
+                row = jnp.asarray(self.chain_[i], dtype=dt)
+                td = row if noise else gpc.noise_free_theta(
+                    self._spec, row, widx
+                )
+                draw = _row_sample_y(
+                    row, td, self._data, X, ki,
+                    kernel=self._spec, row_cfg=cfg, n_samples=1,
+                )
+                cols.append(np.asarray(draw)[:, 0])
+            return np.stack(cols, axis=1)
         if sample_mean:
             wa, wb, n_warp = self._warp_params()
             Xq = wp.warp(X, wa, wb) if n_warp else X
@@ -1973,6 +2239,15 @@ class BayesGPR:
         data = getattr(self, "_post_data", None)
         if data is None:
             data = self._data
+        if self.row_mesh is not None:
+            return float(
+                _row_lml_value(
+                    jnp.asarray(theta, dtype=self._dtype()),
+                    data,
+                    kernel=self._spec,
+                    row_cfg=self._row_cfg(),
+                )
+            )
         return float(
             aot_call(
                 _lml_value,

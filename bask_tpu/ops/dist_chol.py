@@ -52,6 +52,7 @@ from jax.sharding import PartitionSpec as P
 __all__ = [
     "row_sharded_lml",
     "row_sharded_lml_batch",
+    "row_sharded_lml_value_grad",
     "row_sharded_predict",
     "row_sharded_sample_y",
     "walker_row_sharded_lml",
@@ -70,14 +71,21 @@ def pick_row_nb(n_loc: int, nb: int = 256) -> int:
 
 
 def _prep_row_mesh(mesh, n: int, nb: int, fname: str):
-    """Shared entry validation: (axis name, mesh size, clamped nb)."""
-    if len(mesh.axis_names) != 1:
-        raise ValueError(f"{fname} expects a single-axis mesh")
-    ax = mesh.axis_names[0]
-    P_sz = mesh.devices.size
+    """Shared entry validation: (axis name, mesh size, clamped nb).
+
+    Accepts a 1-axis (rows) or 2-axis (walkers, rows) mesh; the LAST
+    axis shards the rows. On a 2-axis mesh the single-theta sweeps run
+    redundantly per walker group (replicated over the first axis) —
+    the layout ``BayesGPR(row_mesh=...)`` uses so consensus/predict
+    sweeps share the chain's mesh without re-meshing the devices.
+    """
+    if len(mesh.axis_names) not in (1, 2):
+        raise ValueError(f"{fname} expects a 1- or 2-axis mesh")
+    ax = mesh.axis_names[-1]
+    P_sz = int(mesh.shape[ax])
     if n % P_sz:
         raise ValueError(
-            f"n_pad={n} must be divisible by the mesh size {P_sz}"
+            f"n_pad={n} must be divisible by the row-axis size {P_sz}"
         )
     return ax, P_sz, pick_row_nb(n // P_sz, nb)
 
@@ -316,6 +324,38 @@ def row_sharded_lml(kernel, theta, X, y, alpha_diag, mask, mesh, nb=256,
         check_vma=False,
     )
     return fn(theta, X, y, alpha_diag, mask)
+
+
+def row_sharded_lml_value_grad(
+    kernel, theta, X, y, alpha_diag, mask, mesh, nb=256, unroll=False
+):
+    """Masked LML and its theta-gradient, each sweep row-sharded.
+
+    Reverse mode through the distributed sweep would have to store every
+    panel's intermediates (O(steps · n²/P) memory — exactly what this
+    module exists to avoid), so the gradient is assembled in FORWARD
+    mode instead: one ``jax.jvp`` of :func:`row_sharded_lml` per
+    hyperparameter, run sequentially under ``lax.map`` so peak memory
+    stays at ~2× a single sweep's strip regardless of the parameter
+    count. Cost: ``D`` primal+tangent sweeps for a ``D``-dimensional
+    theta — the right trade for the ML-II warm start, whose handful of
+    L-BFGS steps only seed the MCMC chain
+    (``/root/reference/bask/bayesgpr.py:78-79``).
+
+    Returns ``(lml, grad)`` with ``grad`` of shape ``theta.shape``.
+    """
+
+    def f(t):
+        return row_sharded_lml(
+            kernel, t, X, y, alpha_diag, mask, mesh, nb=nb, unroll=unroll
+        )
+
+    def one(i):
+        tangent = jnp.zeros_like(theta).at[i].set(1.0)
+        return jax.jvp(f, (theta,), (tangent,))
+
+    vals, grads = lax.map(one, jnp.arange(theta.shape[0]))
+    return vals[0], grads
 
 
 def row_sharded_predict(

@@ -107,6 +107,16 @@ class Optimizer:
         self.n_points = n_points
 
         gp_kwargs = dict(gp_kwargs or {})
+        if gp_kwargs.get("row_mesh") is not None:
+            # acquisition evaluation marginalizes per-draw posteriors —
+            # (W, n, n) working sets row-sharded mode exists to avoid.
+            # The BO loop's n grows one point per tell and never reaches
+            # the beyond-one-chip regime; shard walkers instead.
+            raise ValueError(
+                "row_mesh is a BayesGPR regression-scale feature and is "
+                "not supported inside Optimizer; use Optimizer(mesh=...) "
+                "walker sharding for multi-device BO loops."
+            )
         if gp_kernel is None:
             gp_kernel = construct_default_kernel(
                 list(range(self.space.transformed_n_dims))

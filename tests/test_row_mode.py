@@ -1,0 +1,322 @@
+"""BayesGPR(row_mesh=...) — the estimator-level huge-n mode.
+
+ops/dist_chol's sweeps are parity-pinned in test_dist_chol.py; these
+tests pin the PLUMBING: the chain log-prob, ML-II gradients, consensus
+refresh, predict/sample_y, and LML routing all go through the
+row-sharded paths without ever materializing an (n_pad, n_pad) factor,
+and agree with the per-chip implementation to float64 precision. The
+reference has no distributed execution at all (SURVEY §2 absent-rows).
+"""
+
+import pickle
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from bask_tpu.models import gp as gpc
+from bask_tpu.models.bayesgpr import (
+    BayesGPR,
+    _lml_value_grad,
+    _make_log_prob_batch,
+    _row_lml_value_grad,
+)
+from bask_tpu.ops.kernels import ConstantKernel, Matern, WhiteKernel
+
+
+def _row_mesh():
+    devs = np.array(jax.devices("cpu")[:8])
+    if devs.size < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return Mesh(devs, ("r",))
+
+
+def _wr_mesh():
+    devs = np.array(jax.devices("cpu")[:8])
+    if devs.size < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return Mesh(devs.reshape(2, 4), ("w", "r"))
+
+
+def _kernel(d=2):
+    return ConstantKernel(1.0, (0.1, 10.0)) * Matern(
+        (0.5,) * d, (0.05, 5.0), nu=2.5
+    )
+
+
+def _problem(n=53, d=2, seed=3):
+    rng = np.random.RandomState(seed)
+    X = rng.uniform(size=(n, d))
+    y = np.sin(3.0 * X[:, 0]) + 0.5 * X[:, 1] + 0.05 * rng.randn(n)
+    return X, y
+
+
+def _fit(gp, X, y, **kw):
+    kw.setdefault("n_desired_samples", 24)
+    kw.setdefault("n_burnin", 2)
+    kw.setdefault("n_walkers_per_thread", 8)
+    kw.setdefault("progress", False)
+    return gp.fit(X, y, **kw)
+
+
+def test_log_prob_batch_row_matches_plain():
+    """The chain's row-sharded log-prob == the batched_lml log-prob."""
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=1)
+    gp._spec = gp._user_kernel + WhiteKernel(1.0, (1e-5, 1e5))
+    gp._set_data(X, y, None)
+    priors = gp._resolve_priors(None)
+    data = gp._data
+
+    plain = _make_log_prob_batch(gp._spec, priors, None, 0, data)
+    row = _make_log_prob_batch(
+        gp._spec, priors, None, 0, data,
+        row_cfg=(_row_mesh(), 16, False),
+    )
+    rng = np.random.RandomState(0)
+    thetas = jnp.asarray(
+        gp._spec.theta0[None, :] + 0.1 * rng.randn(8, gp._spec.n_theta)
+    )
+    np.testing.assert_allclose(
+        np.asarray(row(thetas)), np.asarray(plain(thetas)),
+        rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_log_prob_batch_2d_mesh_matches_plain():
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=1)
+    gp._spec = gp._user_kernel + WhiteKernel(1.0, (1e-5, 1e5))
+    gp._set_data(X, y, None)
+    priors = gp._resolve_priors(None)
+    data = gp._data
+    plain = _make_log_prob_batch(gp._spec, priors, None, 0, data)
+    row = _make_log_prob_batch(
+        gp._spec, priors, None, 0, data,
+        row_cfg=(_wr_mesh(), 16, False),
+    )
+    rng = np.random.RandomState(1)
+    thetas = jnp.asarray(
+        gp._spec.theta0[None, :] + 0.1 * rng.randn(8, gp._spec.n_theta)
+    )
+    np.testing.assert_allclose(
+        np.asarray(row(thetas)), np.asarray(plain(thetas)),
+        rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_ml2_value_grad_matches_plain():
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=1, row_mesh=_row_mesh())
+    gp._spec = gp._user_kernel + WhiteKernel(1.0, (1e-5, 1e5))
+    gp._set_data(X, y, None)
+    theta = jnp.asarray(gp._spec.theta0 + 0.2)
+    vg_row = np.asarray(
+        _row_lml_value_grad(
+            theta, gp._data, kernel=gp._spec, row_cfg=gp._row_cfg()
+        )
+    )
+    vg_plain = np.asarray(
+        _lml_value_grad(theta, gp._data, kernel=gp._spec)
+    )
+    np.testing.assert_allclose(vg_row, vg_plain, rtol=1e-8, atol=1e-9)
+
+
+def test_fit_predict_end_to_end_row_mode():
+    """Full fit in row mode, then predict parity against a per-chip
+    model forced to the SAME consensus theta."""
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=_row_mesh())
+    _fit(gp, X, y)
+    assert gp._post is None  # no (n, n) factor was ever stored
+    assert np.isfinite(gp.theta).all()
+    assert np.isfinite(gp.log_marginal_likelihood_value_)
+    assert gp.chain_.shape[1] == gp._spec.n_theta
+
+    ref = BayesGPR(kernel=_kernel(), random_state=7)
+    ref._spec = gp._spec
+    ref._set_data(X, y, None)
+    ref.theta = gp.theta
+
+    Xq = np.random.RandomState(5).uniform(size=(9, X.shape[1]))
+    m_row, s_row = gp.predict(Xq, return_std=True)
+    m_ref, s_ref = ref.predict(Xq, return_std=True)
+    np.testing.assert_allclose(m_row, m_ref, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(s_row, s_ref, rtol=1e-7, atol=1e-9)
+
+    m_row, c_row = gp.predict(Xq, return_cov=True)
+    m_ref, c_ref = ref.predict(Xq, return_cov=True)
+    np.testing.assert_allclose(c_row, c_ref, rtol=1e-6, atol=1e-8)
+
+    # noise-free prediction context
+    with gp.noise_set_to_zero():
+        s_nf = gp.predict(Xq, return_std=True)[1]
+    with ref.noise_set_to_zero():
+        s_nf_ref = ref.predict(Xq, return_std=True)[1]
+    np.testing.assert_allclose(s_nf, s_nf_ref, rtol=1e-7, atol=1e-9)
+
+    # consensus LML equals the per-chip one at the same theta
+    np.testing.assert_allclose(
+        gp.log_marginal_likelihood(gp.theta),
+        ref.log_marginal_likelihood(gp.theta),
+        rtol=1e-9,
+    )
+
+
+def test_fit_2d_mesh_rounds_walkers_and_runs():
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=_wr_mesh())
+    _fit(gp, X, y, n_walkers_per_thread=6)
+    # halves must shard over the 2-wide walker axis: 6 -> 8
+    assert gp.chain_steps_.shape[1] % 4 == 0
+    assert np.isfinite(gp.theta).all()
+
+
+def test_sample_y_row_mode():
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=_row_mesh())
+    _fit(gp, X, y)
+    Xq = np.random.RandomState(2).uniform(size=(7, X.shape[1]))
+    mean_draws = gp.sample_y(Xq, sample_mean=True, n_samples=5)
+    assert mean_draws.shape == (7, 5)
+    assert np.isfinite(mean_draws).all()
+    marg = gp.sample_y(Xq, n_samples=3, random_state=11)
+    assert marg.shape == (7, 3)
+    assert np.isfinite(marg).all()
+    # draws concentrate near the predictive mean at modest noise
+    m = gp.predict(Xq)
+    assert np.abs(mean_draws.mean(axis=1) - m).max() < 2.0
+
+
+def test_row_mode_normalize_y():
+    X, y = _problem()
+    y = y * 37.0 + 250.0
+    gp = BayesGPR(
+        kernel=_kernel(), random_state=7, row_mesh=_row_mesh(),
+        normalize_y=True,
+    )
+    _fit(gp, X, y)
+    ref = BayesGPR(kernel=_kernel(), random_state=7, normalize_y=True)
+    ref._spec = gp._spec
+    ref._set_data(X, y, None)
+    ref.theta = gp.theta
+    Xq = np.random.RandomState(5).uniform(size=(6, X.shape[1]))
+    np.testing.assert_allclose(
+        gp.predict(Xq, return_std=True)[0],
+        ref.predict(Xq, return_std=True)[0],
+        rtol=1e-8,
+    )
+
+
+def test_row_mode_guards():
+    mesh = _row_mesh()
+    with pytest.raises(ValueError, match="warp_inputs"):
+        BayesGPR(kernel=_kernel(), warp_inputs=True, row_mesh=mesh)
+    devs = np.array(jax.devices("cpu")[:8]).reshape(2, 2, 2)
+    with pytest.raises(ValueError, match="one .* or two"):
+        BayesGPR(kernel=_kernel(), row_mesh=Mesh(devs, ("a", "b", "c")))
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=mesh)
+    _fit(gp, X, y)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        gp.sample(mesh=mesh, n_desired_samples=4)
+    with pytest.raises(NotImplementedError, match="row-sharded"):
+        gp.predict(X[:3], return_mean_grad=True)
+
+
+def test_optimizer_rejects_row_mesh():
+    from bask_tpu.optimizer import Optimizer
+
+    with pytest.raises(ValueError, match="row_mesh"):
+        Optimizer(
+            [(0.0, 1.0)], gp_kwargs={"row_mesh": _row_mesh()},
+            n_initial_points=2,
+        )
+
+
+def test_row_mode_pickle_detaches_mesh():
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=_row_mesh())
+    _fit(gp, X, y)
+    blob = pickle.dumps(gp)
+    loaded = pickle.loads(blob)
+    assert loaded.row_mesh is None
+    np.testing.assert_allclose(loaded.theta, gp.theta)
+    # reattach the (process-local) mesh: predictions work again
+    loaded.row_mesh = _row_mesh()
+    Xq = X[:4]
+    np.testing.assert_allclose(
+        loaded.predict(Xq), gp.predict(Xq), rtol=1e-10
+    )
+
+
+def test_row_mode_lbfgs_device_falls_back():
+    X, y = _problem()
+    gp = BayesGPR(
+        kernel=_kernel(), random_state=7, row_mesh=_row_mesh(),
+        optimizer="lbfgs-device",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _fit(gp, X, y)
+    assert any("lbfgs-device" in str(x.message) for x in w)
+    assert np.isfinite(gp.theta).all()
+
+
+def test_row_mode_progress_and_add():
+    """The chunked (progress) and add-chains legacy paths run row-sharded."""
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=_row_mesh())
+    _fit(gp, X, y, progress=True)
+    w0 = gp.chain_steps_.shape[1]
+    n0 = len(gp.chain_)
+    gp.sample(
+        n_desired_samples=16, n_burnin=0, n_walkers_per_thread=w0,
+        n_threads=1, add=True,
+    )
+    assert len(gp.chain_) > n0
+
+
+def test_row_mode_noise_free_theta_diag_consistency():
+    """noise=True vs noise=False sample_y variance ordering."""
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=_row_mesh())
+    _fit(gp, X, y)
+    Xq = np.random.RandomState(8).uniform(size=(5, X.shape[1]))
+    key_draws = gp.sample_y(
+        Xq, sample_mean=True, noise=True, n_samples=400, random_state=3
+    )
+    nf_draws = gp.sample_y(
+        Xq, sample_mean=True, noise=False, n_samples=400, random_state=3
+    )
+    assert key_draws.var(axis=1).mean() >= nf_draws.var(axis=1).mean()
+
+
+def test_unfitted_row_mode_prior_predict():
+    gp = BayesGPR(kernel=_kernel(), row_mesh=_row_mesh())
+    Xq = np.random.RandomState(0).uniform(size=(4, 2))
+    m, s = gp.predict(Xq, return_std=True)
+    np.testing.assert_allclose(m, 0.0)
+    assert (s > 0).all()
+
+
+def test_row_mode_consensus_state_is_lml_consistent():
+    """theta setter refreshes the consensus LML via the sweep."""
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=_row_mesh())
+    _fit(gp, X, y)
+    t = gp.theta
+    gp.theta = t  # re-trigger the refresh
+    np.testing.assert_allclose(
+        float(gp._consensus_lml_), gp.log_marginal_likelihood(t), rtol=1e-12
+    )
+    data = gp._data
+    oracle = gpc.log_marginal_likelihood(
+        gp._spec, jnp.asarray(t, dtype=data.X.dtype), data
+    )
+    np.testing.assert_allclose(
+        float(gp._consensus_lml_), float(oracle), rtol=1e-9
+    )
