@@ -92,7 +92,7 @@ def _prep_row_mesh(mesh, n: int, nb: int, fname: str):
 
 def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
                  P_sz, nb, theta_diag=None, with_outer=False,
-                 unroll=False):
+                 with_grad=False, unroll=False):
     """One device's strip of the blocked distributed sweep.
 
     Factorizes the row-sharded masked gram while forward-solving
@@ -115,6 +115,15 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
     predictive covariances. All returned values are bit-identical
     across devices (built from psum'd blocks).
 
+    ``with_grad`` additionally forward-solves the query-gradient
+    cross-blocks ``∂k(X, x_j)/∂x_j`` as ``m·d`` extra trailing columns
+    of the SAME sweep (the factor does not depend on ``Xq``, so the
+    gradients of the predictive mean/variance are linear solves against
+    it — no second factorization, no stored factor) and accumulates
+
+    * ``dotg``   = (L⁻¹∂Kq)ᵀ(L⁻¹y)   per query, (m, d)  (mean grads)
+    * ``qcross`` = Σ (L⁻¹Kq)·(L⁻¹∂Kq) per query, (m, d)  (var grads)
+
     ``unroll=True`` replaces the ``fori_loop`` with a Python-unrolled
     sweep whose panel indices are static: the block owner and its local
     offset become compile-time constants (static slicing instead of
@@ -136,12 +145,25 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
     mask_loc = lax.dynamic_slice_in_dim(mask, r0, n_loc, 0)
     alpha_loc = lax.dynamic_slice_in_dim(alpha_diag, r0, n_loc, 0)
     y_loc = lax.dynamic_slice_in_dim(y, r0, n_loc, 0)
+    dq = Xq.shape[1] if (m and with_grad) else 0
     if m:
         tq = theta if theta_diag is None else theta_diag
         Ksl = kernel.eval(tq, X_loc, Xq) * mask_loc[:, None]
-        B_loc = jnp.concatenate([y_loc[:, None], Ksl], axis=1)
+        cols = [y_loc[:, None], Ksl]
+        if with_grad:
+            # (m, n_loc, d): jacobian of each query's cross column wrt
+            # the query point — forward mode, d is small
+            dK = jax.vmap(
+                jax.jacfwd(
+                    lambda x: kernel.eval(tq, X_loc, x[None, :])[:, 0]
+                )
+            )(Xq)
+            dK = jnp.transpose(dK, (1, 0, 2)) * mask_loc[:, None, None]
+            cols.append(dK.reshape(n_loc, m * dq))
+        B_loc = jnp.concatenate(cols, axis=1)
     else:
-        B_loc = y_loc[:, None]  # (n_loc, 1+m)
+        B_loc = y_loc[:, None]  # (n_loc, 1+m+m*dq)
+    wB = B_loc.shape[1]
 
     rows_g = r0 + jnp.arange(n_loc)
     cols_g = jnp.arange(n)
@@ -160,7 +182,7 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
     steps = n // nb
 
     def step(k, carry):
-        K_loc, B_loc, quad, logdet, dot, qnorm, qouter = carry
+        K_loc, B_loc, quad, logdet, dot, qnorm, qouter, dotg, qcross = carry
         # int32 throughout: axis_index is int32, the fori_loop counter
         # is int64 under x64 — dynamic_slice requires matching types
         row0 = (k * nb).astype(jnp.int32)
@@ -180,7 +202,7 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
             jnp.where(
                 is_owner,
                 lax.dynamic_slice(
-                    B_loc, (loc0, jnp.int32(0)), (nb, 1 + m)
+                    B_loc, (loc0, jnp.int32(0)), (nb, wB)
                 ),
                 0.0,
             ),
@@ -210,7 +232,7 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
         quad = quad + jnp.sum(zy * zy)  # elementwise, not a bf16 dot
         logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))
         if m:
-            Zq = Zk[:, 1:]
+            Zq = Zk[:, 1:1 + m]
             dot = dot + jnp.sum(Zq * zy[:, None], axis=0)
             qnorm = qnorm + jnp.sum(Zq * Zq, axis=0)
             if with_outer:
@@ -218,20 +240,29 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
                 qouter = qouter + jnp.matmul(
                     Zq.T, Zq, precision=lax.Precision.HIGHEST
                 )
-        return K_loc, B_loc, quad, logdet, dot, qnorm, qouter
+            if dq:
+                Zg = Zk[:, 1 + m:].reshape(nb, m, dq)
+                dotg = dotg + jnp.sum(Zg * zy[:, None, None], axis=0)
+                qcross = qcross + jnp.sum(Zq[:, :, None] * Zg, axis=0)
+        return K_loc, B_loc, quad, logdet, dot, qnorm, qouter, dotg, qcross
 
     zero = jnp.zeros((), K_loc.dtype)
     zm = jnp.zeros((m,), K_loc.dtype)
     zmm = jnp.zeros((m, m) if with_outer else (0, 0), K_loc.dtype)
+    zmd = jnp.zeros((m, dq) if dq else (0, 0), K_loc.dtype)
 
     if not unroll:
-        _, _, quad, logdet, dot, qnorm, qouter = lax.fori_loop(
-            0, steps, step, (K_loc, B_loc, zero, zero, zm, zm, zmm)
+        _, _, quad, logdet, dot, qnorm, qouter, dotg, qcross = (
+            lax.fori_loop(
+                0, steps, step,
+                (K_loc, B_loc, zero, zero, zm, zm, zmm, zmd, zmd),
+            )
         )
-        return quad, logdet, dot, qnorm, qouter
+        return quad, logdet, dot, qnorm, qouter, dotg, qcross
 
     # --- static-index unrolled sweep: trapezoid-only trailing update ---
     quad, logdet, dot, qnorm, qouter = zero, zero, zm, zm, zmm
+    dotg, qcross = zmd, zmd
     for k in range(steps):
         row0 = k * nb  # static
         owner = row0 // n_loc  # static: strips are contiguous blocks
@@ -276,20 +307,24 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
         quad = quad + jnp.sum(zy * zy)
         logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))
         if m:
-            Zq = Zk[:, 1:]
+            Zq = Zk[:, 1:1 + m]
             dot = dot + jnp.sum(Zq * zy[:, None], axis=0)
             qnorm = qnorm + jnp.sum(Zq * Zq, axis=0)
             if with_outer:
                 qouter = qouter + jnp.matmul(
                     Zq.T, Zq, precision=lax.Precision.HIGHEST
                 )
-    return quad, logdet, dot, qnorm, qouter
+            if dq:
+                Zg = Zk[:, 1 + m:].reshape(nb, m, dq)
+                dotg = dotg + jnp.sum(Zg * zy[:, None, None], axis=0)
+                qcross = qcross + jnp.sum(Zq[:, :, None] * Zg, axis=0)
+    return quad, logdet, dot, qnorm, qouter, dotg, qcross
 
 
 def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz,
                     nb, unroll=False):
     """shard_map body: masked LML from the distributed sweep."""
-    quad, logdet, _, _, _ = _sweep_strip(
+    quad, logdet, _, _, _, _, _ = _sweep_strip(
         theta, X, None, y, alpha_diag, mask,
         kernel=kernel, ax=ax, P_sz=P_sz, nb=nb, unroll=unroll,
     )
@@ -373,6 +408,7 @@ def row_sharded_predict(
     theta_diag=None,
     return_lml=False,
     return_cov=False,
+    return_grad=False,
     unroll=False,
 ):
     """Predictive mean/std (or full covariance) with the gram row-sharded.
