@@ -483,11 +483,13 @@ def _row_lml_value_grad(theta, data, *, kernel, row_cfg):
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "row_cfg", "return_cov", "with_lml"),
+    static_argnames=(
+        "kernel", "row_cfg", "return_cov", "with_lml", "with_grad",
+    ),
 )
 def _row_predict(
     theta, theta_diag, data, Xq, *, kernel, row_cfg, return_cov=False,
-    with_lml=False,
+    with_lml=False, with_grad=False,
 ):
     from ..ops.dist_chol import row_sharded_predict
 
@@ -496,7 +498,7 @@ def _row_predict(
         kernel, theta, data.X, data.y, data.alpha_diag, data.mask, Xq,
         mesh=mesh, nb=nb, y_mean=data.y_mean, y_std=data.y_std,
         theta_diag=theta_diag, return_lml=with_lml,
-        return_cov=return_cov, unroll=unroll,
+        return_cov=return_cov, return_grad=with_grad, unroll=unroll,
     )
 
 
@@ -1931,14 +1933,13 @@ class BayesGPR:
 
             validate_zeroone(np.asarray(X))
         if self.row_mesh is not None:
-            if return_mean_grad or return_std_grad:
-                raise NotImplementedError(
-                    "prediction gradients are not available in "
-                    "row-sharded mode (no stored factor to "
-                    "differentiate against); evaluate finite "
-                    "differences of predict() if needed."
+            with_grad = return_mean_grad or return_std_grad
+            if with_grad and return_cov:
+                raise ValueError(
+                    "return_cov cannot be combined with prediction "
+                    "gradients in row-sharded mode"
                 )
-            mean, unc = _row_predict(
+            out = _row_predict(
                 jnp.asarray(self._theta, dtype=self._dtype()),
                 self._theta_diag(),
                 self._data,
@@ -1946,11 +1947,24 @@ class BayesGPR:
                 kernel=self._spec,
                 row_cfg=self._row_cfg(),
                 return_cov=return_cov,
+                with_grad=with_grad,
             )
-            mean = np.asarray(mean)
+            if not with_grad:
+                mean, unc = out
+            else:
+                # gradients ride the same distributed sweep as extra
+                # forward-solve columns (dist_chol.row_sharded_predict)
+                mean, unc, mg, sg = out
+            results = [np.asarray(mean)]
             if return_std or return_cov:
-                return mean, np.asarray(unc)
-            return mean
+                results.append(np.asarray(unc))
+            if return_mean_grad:
+                results.append(np.asarray(mg))
+            if return_std_grad:
+                results.append(np.asarray(sg))
+            if len(results) == 1:
+                return results[0]
+            return tuple(results)
         wa, wb, n_warp = self._warp_params()
         out = aot_call(
             _predict,

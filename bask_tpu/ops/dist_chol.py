@@ -426,42 +426,66 @@ def row_sharded_predict(
     (noise-free prediction, mirroring ``gp.predict``'s ``theta_diag``).
     Returns ``(mean, std-or-cov)`` in original y units, plus the masked
     LML when ``return_lml`` (it falls out of the same sweep for free).
+    ``return_grad`` appends ``(mean_grad, std_grad)`` — the gradients of
+    the predictive mean and std wrt each query point, (m, d) each,
+    computed as extra forward-solve columns of the SAME sweep (the
+    row-mode counterpart of ``gp.predict``'s autodiff gradients; needed
+    by ``expected_minimum``). Return order:
+    ``mean, uncert[, mean_grad, std_grad][, lml]``.
     Query batches should stay ≪ n (each device carries an (n_loc, m)
     solve block).
     """
+    if return_grad and return_cov:
+        raise ValueError(
+            "return_grad gives mean/std gradients; it is incompatible "
+            "with return_cov"
+        )
     ax, P_sz, nb = _prep_row_mesh(
         mesh, X.shape[0], nb, "row_sharded_predict"
     )
     tq = theta if theta_diag is None else theta_diag
 
     def body(theta, tq, X, Xq, y, alpha_diag, mask):
-        quad, logdet, dot, qnorm, qouter = _sweep_strip(
+        quad, logdet, dot, qnorm, qouter, dotg, qcross = _sweep_strip(
             theta, X, Xq, y, alpha_diag, mask,
             kernel=kernel, ax=ax, P_sz=P_sz, nb=nb, theta_diag=tq,
-            with_outer=return_cov, unroll=unroll,
+            with_outer=return_cov, with_grad=return_grad, unroll=unroll,
         )
         n_real = jnp.sum(mask)
         lml = -0.5 * quad - logdet - 0.5 * n_real * _LOG2PI
         lml = jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
-        return dot, qnorm, qouter, lml
+        return dot, qnorm, qouter, lml, dotg, qcross
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    dot, qnorm, qouter, lml = fn(theta, tq, X, Xq, y, alpha_diag, mask)
+    dot, qnorm, qouter, lml, dotg, qcross = fn(
+        theta, tq, X, Xq, y, alpha_diag, mask
+    )
     mean = y_mean + y_std * dot
     if return_cov:
         uncert = (kernel.eval(tq, Xq, None) - qouter) * y_std**2
     else:
         var = jnp.maximum(kernel.diag(tq, Xq) - qnorm, 0.0)
         uncert = jnp.sqrt(var) * y_std
+    out = [mean, uncert]
+    if return_grad:
+        # mean = y_mean + y_std·(L⁻¹Kq)ᵀ(L⁻¹y)  →  ∂mean = y_std·dotg
+        # var  = diag k(x, x) − |L⁻¹Kq|²
+        #   →  ∂std = y_std·(½·∂diag k − qcross)/std
+        ddiag = jax.vmap(
+            jax.grad(lambda x: kernel.diag(tq, x[None, :])[0])
+        )(Xq)
+        std = jnp.sqrt(jnp.maximum(kernel.diag(tq, Xq) - qnorm, 1e-30))
+        out.append(y_std * dotg)
+        out.append(y_std * (0.5 * ddiag - qcross) / std[:, None])
     if return_lml:
-        return mean, uncert, lml
-    return mean, uncert
+        out.append(lml)
+    return tuple(out) if len(out) > 2 else (out[0], out[1])
 
 
 def row_sharded_sample_y(

@@ -213,6 +213,74 @@ def test_predict_cov_and_sample_y_match_gp():
     )
 
 
+def test_predict_gradients_match_autodiff():
+    """return_grad's extra sweep columns == autodiff of the dense
+    gp.predict mean/std wrt each query point, incl. masking, y scaling
+    and the noise-free theta_diag variant."""
+    mesh = _mesh()
+    kernel = _kernel()
+    X, y, alpha, mask = _problem(n_pad=128, n_real=109, seed=41)
+    theta = jnp.asarray(kernel.theta0 + 0.03)
+    y_mean, y_std = 0.4, 1.3
+    rng = np.random.RandomState(7)
+    Xq = jnp.asarray(rng.uniform(size=(5, 3)))
+
+    data = gpc.make_data(X, y, alpha, mask, y_mean=y_mean, y_std=y_std)
+    post = gpc.posterior(kernel, theta, data)
+
+    def mean_one(x):
+        return gpc.predict(kernel, theta, post, data, x[None, :])[0]
+
+    def std_one(x):
+        return gpc.predict(
+            kernel, theta, post, data, x[None, :], return_std=True
+        )[1][0]
+
+    mg_ref = np.asarray(jax.vmap(jax.grad(mean_one))(Xq))
+    sg_ref = np.asarray(jax.vmap(jax.grad(std_one))(Xq))
+
+    mu, std, mg, sg = row_sharded_predict(
+        kernel, theta, X, y, alpha, mask, Xq, mesh=mesh, nb=16,
+        y_mean=y_mean, y_std=y_std, return_grad=True,
+    )
+    np.testing.assert_allclose(np.asarray(mg), mg_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sg), sg_ref, rtol=1e-7, atol=1e-9)
+
+    # return order with return_lml: grads precede the trailing lml
+    out = row_sharded_predict(
+        kernel, theta, X, y, alpha, mask, Xq, mesh=mesh, nb=16,
+        y_mean=y_mean, y_std=y_std, return_grad=True, return_lml=True,
+    )
+    assert len(out) == 5
+    np.testing.assert_allclose(
+        float(out[4]), float(masked_lml(kernel, theta, X, y, alpha, mask)),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(mg), rtol=1e-12)
+
+    with pytest.raises(ValueError, match="return_cov"):
+        row_sharded_predict(
+            kernel, theta, X, y, alpha, mask, Xq, mesh=mesh, nb=16,
+            return_grad=True, return_cov=True,
+        )
+
+    # noise-free theta_diag: gradients follow the query-side theta
+    white_idx = kernel.n_theta - 1
+    tq = gpc.noise_free_theta(kernel, theta, white_idx)
+
+    def std0_one(x):
+        return gpc.predict(
+            kernel, tq, post, data, x[None, :], return_std=True
+        )[1][0]
+
+    sg0_ref = np.asarray(jax.vmap(jax.grad(std0_one))(Xq))
+    _, _, _, sg0 = row_sharded_predict(
+        kernel, theta, X, y, alpha, mask, Xq, mesh=mesh, nb=16,
+        y_mean=y_mean, y_std=y_std, theta_diag=tq, return_grad=True,
+    )
+    np.testing.assert_allclose(np.asarray(sg0), sg0_ref, rtol=1e-7, atol=1e-9)
+
+
 @pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
 def test_walker_row_2d_mesh(shape):
     devs = np.array(jax.devices("cpu")[:8]).reshape(shape)

@@ -223,8 +223,44 @@ def test_row_mode_guards():
     _fit(gp, X, y)
     with pytest.raises(ValueError, match="mutually exclusive"):
         gp.sample(mesh=mesh, n_desired_samples=4)
-    with pytest.raises(NotImplementedError, match="row-sharded"):
-        gp.predict(X[:3], return_mean_grad=True)
+    with pytest.raises(ValueError, match="return_cov"):
+        gp.predict(X[:3], return_cov=True, return_mean_grad=True)
+
+
+def test_row_mode_predict_gradients_match_plain():
+    """Row-mode mean/std gradients (extra sweep columns) == the per-chip
+    autodiff gradients at the same consensus theta."""
+    X, y = _problem()
+    gp = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=_row_mesh())
+    _fit(gp, X, y)
+    ref = BayesGPR(kernel=_kernel(), random_state=7)
+    ref._spec = gp._spec
+    ref._set_data(X, y, None)
+    ref.theta = gp.theta
+
+    Xq = np.random.RandomState(9).uniform(size=(6, X.shape[1]))
+    m_r, s_r, mg_r, sg_r = gp.predict(
+        Xq, return_std=True, return_mean_grad=True, return_std_grad=True
+    )
+    m_p, s_p, mg_p, sg_p = ref.predict(
+        Xq, return_std=True, return_mean_grad=True, return_std_grad=True
+    )
+    np.testing.assert_allclose(m_r, m_p, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(s_r, s_p, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(mg_r, mg_p, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(sg_r, sg_p, rtol=1e-5, atol=1e-7)
+
+    # grads also come through the noise-free context (theta_diag path)
+    with gp.noise_set_to_zero():
+        out_nf = gp.predict(Xq, return_std=True, return_std_grad=True)
+    with ref.noise_set_to_zero():
+        ref_nf = ref.predict(Xq, return_std=True, return_std_grad=True)
+    np.testing.assert_allclose(out_nf[2], ref_nf[2], rtol=1e-5, atol=1e-7)
+
+    # mean-grad only: result shape contract matches the per-chip path
+    out = gp.predict(Xq, return_mean_grad=True)
+    assert isinstance(out, tuple) and len(out) == 2
+    np.testing.assert_allclose(out[1], mg_r, rtol=1e-12)
 
 
 def test_optimizer_rejects_row_mesh():
