@@ -90,6 +90,25 @@ def _prep_row_mesh(mesh, n: int, nb: int, fname: str):
     return ax, P_sz, pick_row_nb(n // P_sz, nb)
 
 
+def _gram_strip(kernel, theta, X, X_loc, alpha_loc, mask, mask_loc,
+                rows_g, cols_g):
+    """One device's (n_loc, n) strip of the masked gram.
+
+    Identity rows for padded points, ``kernel.diag + alpha`` on the true
+    diagonal — the row-sharded image of ``ops.linalg``'s masked gram.
+    Kept a standalone (theta-differentiable) function so the adjoint
+    gradient can forward-mode it per hyperparameter.
+    """
+    Ks = kernel.eval(theta, X_loc, X)  # cross form: White contributes 0
+    m2 = mask_loc[:, None] & mask[None, :]
+    K_loc = jnp.where(m2, Ks, 0.0)
+    diag_sel = cols_g[None, :] == rows_g[:, None]
+    dvals = jnp.where(
+        mask_loc, kernel.diag(theta, X_loc) + alpha_loc, 1.0
+    )
+    return jnp.where(diag_sel, dvals[:, None], K_loc)
+
+
 def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
                  P_sz, nb, theta_diag=None, with_outer=False,
                  with_grad=False, unroll=False):
@@ -168,14 +187,9 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
     rows_g = r0 + jnp.arange(n_loc)
     cols_g = jnp.arange(n)
 
-    Ks = kernel.eval(theta, X_loc, X)  # cross form: White contributes 0
-    m2 = mask_loc[:, None] & mask[None, :]
-    K_loc = jnp.where(m2, Ks, 0.0)
-    diag_sel = cols_g[None, :] == rows_g[:, None]
-    dvals = jnp.where(
-        mask_loc, kernel.diag(theta, X_loc) + alpha_loc, 1.0
+    K_loc = _gram_strip(
+        kernel, theta, X, X_loc, alpha_loc, mask, mask_loc, rows_g, cols_g
     )
-    K_loc = jnp.where(diag_sel, dvals[:, None], K_loc)
 
     # --- blocked right-looking sweep, forward solves interleaved ---
     eye_nb = jnp.eye(nb, dtype=K_loc.dtype)
@@ -361,24 +375,232 @@ def row_sharded_lml(kernel, theta, X, y, alpha_diag, mask, mesh, nb=256,
     return fn(theta, X, y, alpha_diag, mask)
 
 
+def _adjoint_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax,
+                        P_sz, nb):
+    """shard_map body: masked LML + exact theta-gradient, one strip.
+
+    Closed-form adjoint of GPML eq. 5.9:
+
+        ∂LML/∂θᵢ = ½ αᵀ(∂K/∂θᵢ)α − ½ tr(K⁻¹ ∂K/∂θᵢ),   α = K⁻¹y
+
+    assembled from THREE distributed passes whose cost is independent
+    of the hyperparameter count D (the jvp fallback pays D primal+
+    tangent sweeps):
+
+    1. one factorization sweep that STORES the factor strip ``L_loc``
+       and forward-solves ``L⁻¹[y, I]`` (the identity right-hand side
+       rides the same panel updates, so ``L⁻¹`` comes out row-sharded
+       for free),
+    2. one distributed backward sweep ``Lᵀ[α, K⁻¹] = [L⁻¹y, L⁻¹]``
+       (bottom-up over panels; each step one psum of the local
+       contributions), giving α and the row-sharded ``K⁻¹`` strips,
+    3. D cheap elementwise reductions: ``∂K/∂θᵢ`` strips from one jvp
+       of the gram builder each (O(n²/P) work, no factorization),
+       contracted against ``K⁻¹`` (trace term, symmetry of both sides
+       makes the row-sharded elementwise product exact) and α
+       (quadratic term).
+
+    Peak memory is ~4 strips of (n_loc, n) — same O(n²/P) class as the
+    plain sweep; reverse-mode autodiff through the sweep would need
+    O(steps·n²/P) saved panels, which is exactly what this module
+    exists to avoid.
+    """
+    n = X.shape[0]
+    D = theta.shape[0]
+    n_loc = n // P_sz
+    p = lax.axis_index(ax)
+    r0 = p * n_loc
+
+    X_loc = lax.dynamic_slice_in_dim(X, r0, n_loc, 0)
+    mask_loc = lax.dynamic_slice_in_dim(mask, r0, n_loc, 0)
+    alpha_loc = lax.dynamic_slice_in_dim(alpha_diag, r0, n_loc, 0)
+    y_loc = lax.dynamic_slice_in_dim(y, r0, n_loc, 0)
+    rows_g = r0 + jnp.arange(n_loc)
+    cols_g = jnp.arange(n)
+
+    def gram_fn(t):
+        return _gram_strip(
+            kernel, t, X, X_loc, alpha_loc, mask, mask_loc, rows_g, cols_g
+        )
+
+    K_loc = gram_fn(theta)
+    dt = K_loc.dtype
+    # RHS [y, I-strip]: rows of the identity owned by this device
+    I_loc = (cols_g[None, :] == rows_g[:, None]).astype(dt)
+    B_loc = jnp.concatenate([y_loc[:, None], I_loc], axis=1)  # (n_loc, 1+n)
+    L_loc = jnp.zeros_like(K_loc)
+    Z_loc = jnp.zeros_like(B_loc)
+
+    eye_nb = jnp.eye(nb, dtype=dt)
+    steps = n // nb
+
+    def fwd_step(k, carry):
+        K_loc, B_loc, L_loc, Z_loc, logdet = carry
+        row0 = (k * nb).astype(jnp.int32)
+        owner = row0 // n_loc
+        is_owner = p == owner
+        loc0 = jnp.clip(row0 - r0, 0, n_loc - nb).astype(jnp.int32)
+
+        Akk = lax.psum(
+            jnp.where(
+                is_owner,
+                lax.dynamic_slice(K_loc, (loc0, row0), (nb, nb)),
+                0.0,
+            ),
+            ax,
+        )
+        Bk = lax.psum(
+            jnp.where(
+                is_owner,
+                lax.dynamic_slice(B_loc, (loc0, jnp.int32(0)), (nb, 1 + n)),
+                0.0,
+            ),
+            ax,
+        )
+        Lkk = jnp.linalg.cholesky(Akk)
+        Zk = solve_triangular(Lkk, Bk, lower=True)  # (nb, 1+n)
+        LinvT = solve_triangular(Lkk, eye_nb, lower=True).T
+
+        Cl = lax.dynamic_slice(K_loc, (jnp.int32(0), row0), (n_loc, nb))
+        Pl = jnp.matmul(Cl, LinvT, precision=lax.Precision.HIGHEST)
+        below = rows_g >= row0 + nb
+        Pl = jnp.where(below[:, None], Pl, 0.0)
+
+        # store the factor: sub-diagonal panel rows everywhere, the
+        # little Cholesky block on its owner (panels never straddle
+        # strips: nb divides n_loc)
+        Lcol = jnp.where(
+            is_owner,
+            lax.dynamic_update_slice(Pl, Lkk, (loc0, jnp.int32(0))),
+            Pl,
+        )
+        L_loc = lax.dynamic_update_slice(L_loc, Lcol, (jnp.int32(0), row0))
+        Z_loc = jnp.where(
+            is_owner,
+            lax.dynamic_update_slice(Z_loc, Zk, (loc0, jnp.int32(0))),
+            Z_loc,
+        )
+
+        P_full = lax.all_gather(Pl, ax, tiled=True)
+        U = jnp.matmul(Pl, P_full.T, precision=lax.Precision.HIGHEST)
+        colmask = cols_g >= row0 + nb
+        K_loc = K_loc - U * colmask[None, :]
+        B_loc = B_loc - jnp.matmul(
+            Pl, Zk, precision=lax.Precision.HIGHEST
+        )
+        logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))
+        return K_loc, B_loc, L_loc, Z_loc, logdet
+
+    zero = jnp.zeros((), dt)
+    _, _, L_loc, Z_loc, logdet = lax.fori_loop(
+        0, steps, fwd_step, (K_loc, B_loc, L_loc, Z_loc, zero)
+    )
+    # rows of Z are local now: |L⁻¹y|² is a psum of local squares
+    quad = lax.psum(jnp.sum(Z_loc[:, 0] ** 2), ax)
+
+    # --- backward sweep: Lᵀ S = Z  (S = [α, K⁻¹] row-sharded) ---------
+    def bwd_step(i, S_loc):
+        k = steps - 1 - i
+        row0 = (k * nb).astype(jnp.int32)
+        owner = row0 // n_loc
+        is_owner = p == owner
+        loc0 = jnp.clip(row0 - r0, 0, n_loc - nb).astype(jnp.int32)
+
+        Lcol = lax.dynamic_slice(L_loc, (jnp.int32(0), row0), (n_loc, nb))
+        solved = rows_g >= row0 + nb  # rows already back-solved
+        contrib = lax.psum(
+            jnp.matmul(
+                (Lcol * solved[:, None]).T, S_loc,
+                precision=lax.Precision.HIGHEST,
+            ),
+            ax,
+        )  # (nb, 1+n)
+        Vk = lax.psum(
+            jnp.where(
+                is_owner,
+                lax.dynamic_slice(Z_loc, (loc0, jnp.int32(0)), (nb, 1 + n)),
+                0.0,
+            ),
+            ax,
+        )
+        Lkk = lax.psum(
+            jnp.where(
+                is_owner,
+                lax.dynamic_slice(L_loc, (loc0, row0), (nb, nb)),
+                0.0,
+            ),
+            ax,
+        )
+        Sk = solve_triangular(Lkk.T, Vk - contrib, lower=False)
+        return jnp.where(
+            is_owner,
+            lax.dynamic_update_slice(S_loc, Sk, (loc0, jnp.int32(0))),
+            S_loc,
+        )
+
+    S_loc = lax.fori_loop(0, steps, bwd_step, jnp.zeros_like(Z_loc))
+    alpha_vec_loc = S_loc[:, 0]  # α strip
+    Kinv_loc = S_loc[:, 1:]  # K⁻¹ strip (n_loc, n)
+    alpha_full = lax.all_gather(alpha_vec_loc, ax, tiled=True)  # (n,)
+
+    # --- D elementwise contractions against ∂K/∂θᵢ strips -------------
+    def one(i):
+        tangent = jnp.zeros_like(theta).at[i].set(1.0)
+        _, dK_loc = jax.jvp(gram_fn, (theta,), (tangent,))
+        v = jnp.matmul(dK_loc, alpha_full, precision=lax.Precision.HIGHEST)
+        quadform = lax.psum(jnp.sum(alpha_vec_loc * v), ax)
+        tr = lax.psum(jnp.sum(Kinv_loc * dK_loc), ax)
+        return 0.5 * quadform - 0.5 * tr
+
+    grads = lax.map(one, jnp.arange(D))
+
+    n_real = jnp.sum(mask)
+    lml = -0.5 * quad - logdet - 0.5 * n_real * _LOG2PI
+    lml = jnp.where(jnp.isfinite(lml), lml, -jnp.inf)
+    return lml, grads
+
+
 def row_sharded_lml_value_grad(
-    kernel, theta, X, y, alpha_diag, mask, mesh, nb=256, unroll=False
+    kernel, theta, X, y, alpha_diag, mask, mesh, nb=256, unroll=False,
+    method="adjoint",
 ):
-    """Masked LML and its theta-gradient, each sweep row-sharded.
+    """Masked LML and its theta-gradient, each pass row-sharded.
 
     Reverse mode through the distributed sweep would have to store every
     panel's intermediates (O(steps · n²/P) memory — exactly what this
-    module exists to avoid), so the gradient is assembled in FORWARD
-    mode instead: one ``jax.jvp`` of :func:`row_sharded_lml` per
-    hyperparameter, run sequentially under ``lax.map`` so peak memory
-    stays at ~2× a single sweep's strip regardless of the parameter
-    count. Cost: ``D`` primal+tangent sweeps for a ``D``-dimensional
-    theta — the right trade for the ML-II warm start, whose handful of
-    L-BFGS steps only seed the MCMC chain
-    (``/root/reference/bask/bayesgpr.py:78-79``).
+    module exists to avoid), so two storage-free strategies are offered:
 
+    * ``method="adjoint"`` (default): the closed-form GPML gradient
+      from ~3 distributed passes total — one factor sweep that also
+      forward-solves ``L⁻¹[y, I]``, one backward sweep for
+      ``[α, K⁻¹]``, then D cheap elementwise contractions. Cost is
+      independent of the hyperparameter count D.
+    * ``method="jvp"``: one ``jax.jvp`` of :func:`row_sharded_lml` per
+      hyperparameter, run sequentially under ``lax.map`` — D primal+
+      tangent sweeps, but the leanest memory (~2 strips) and the only
+      path honoring ``unroll``.
+
+    Both seed the ML-II warm start whose handful of L-BFGS steps only
+    initialize the MCMC chain (``/root/reference/bask/bayesgpr.py:78-79``).
     Returns ``(lml, grad)`` with ``grad`` of shape ``theta.shape``.
     """
+    if method == "adjoint":
+        ax, P_sz, nb = _prep_row_mesh(
+            mesh, X.shape[0], nb, "row_sharded_lml_value_grad"
+        )
+        body = partial(
+            _adjoint_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb
+        )
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(theta, X, y, alpha_diag, mask)
+    if method != "jvp":
+        raise ValueError(f"unknown method {method!r} (adjoint|jvp)")
 
     def f(t):
         return row_sharded_lml(

@@ -213,6 +213,41 @@ def test_predict_cov_and_sample_y_match_gp():
     )
 
 
+def test_value_grad_adjoint_matches_jvp_and_dense():
+    """The closed-form adjoint LML gradient (stored-factor + backward
+    sweep + elementwise contractions) == the D-sweep jvp path == dense
+    autodiff of masked_lml, incl. padding masks."""
+    from bask_tpu.ops.dist_chol import row_sharded_lml_value_grad
+
+    mesh = _mesh()
+    kernel = _kernel()
+    X, y, alpha, mask = _problem(n_pad=128, n_real=113, seed=51)
+    theta = jnp.asarray(kernel.theta0 + 0.11)
+
+    v_dense, g_dense = jax.value_and_grad(
+        lambda t: masked_lml(kernel, t, X, y, alpha, mask)
+    )(theta)
+    v_adj, g_adj = row_sharded_lml_value_grad(
+        kernel, theta, X, y, alpha, mask, mesh, nb=16, method="adjoint"
+    )
+    v_jvp, g_jvp = row_sharded_lml_value_grad(
+        kernel, theta, X, y, alpha, mask, mesh, nb=16, method="jvp"
+    )
+    np.testing.assert_allclose(float(v_adj), float(v_dense), rtol=1e-10)
+    np.testing.assert_allclose(float(v_jvp), float(v_dense), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(g_adj), np.asarray(g_dense), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_jvp), np.asarray(g_dense), rtol=1e-8, atol=1e-10
+    )
+
+    with pytest.raises(ValueError, match="adjoint"):
+        row_sharded_lml_value_grad(
+            kernel, theta, X, y, alpha, mask, mesh, nb=16, method="bogus"
+        )
+
+
 def test_predict_gradients_match_autodiff():
     """return_grad's extra sweep columns == autodiff of the dense
     gp.predict mean/std wrt each query point, incl. masking, y scaling
