@@ -421,6 +421,100 @@ def _ml2_device(theta0s, data, lb, ub, *, kernel, maxiter=60):
     return tfs[jnp.argmin(vals)]
 
 
+def _row_lml_rev(kernel, row_cfg):
+    """Reverse-differentiable row-sharded LML: ``f(theta, data) -> lml``.
+
+    The distributed sweep cannot be reverse-differentiated directly
+    (saving every panel would cost O(steps·n²/P) memory), so the VJP is
+    the closed-form adjoint gradient (``dist_chol`` ``method="adjoint"``,
+    ~3 distributed passes). ONLY the theta cotangent is real — ``data``
+    is treated as a constant (zero cotangent), which is exactly the
+    ML-II contract this exists for. Do not use it to differentiate
+    through the training data.
+    """
+    from ..ops.dist_chol import (
+        row_sharded_lml,
+        row_sharded_lml_value_grad,
+    )
+
+    mesh, nb, unroll = row_cfg
+
+    @jax.custom_vjp
+    def f(theta, data):
+        return row_sharded_lml(
+            kernel, theta, data.X, data.y, data.alpha_diag, data.mask,
+            mesh, nb=nb, unroll=unroll,
+        )
+
+    def fwd(theta, data):
+        v, g = row_sharded_lml_value_grad(
+            kernel, theta, data.X, data.y, data.alpha_diag, data.mask,
+            mesh, nb=nb, method="adjoint",
+        )
+        return v, (g, data)
+
+    def bwd(res, ct):
+        g, data = res
+        return ct * g, jax.tree.map(jnp.zeros_like, data)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@partial(jax.jit, static_argnames=("kernel", "row_cfg", "maxiter"))
+def _ml2_device_row(theta0s, data, lb, ub, *, kernel, row_cfg, maxiter=60):
+    """Row-sharded counterpart of :func:`_ml2_device`: the whole ML-II
+    warm start in one device program, gradients from the adjoint of the
+    distributed sweep (never an (n_pad, n_pad) factor). Restarts run
+    sequentially under ``lax.map`` — at huge n the rows own the mesh's
+    parallelism and a vmapped restart batch would multiply peak memory.
+    Same sigmoid bound transform and NaN guards as the dense program.
+    """
+    import optax
+
+    lml = _row_lml_rev(kernel, row_cfg)
+    width = ub - lb
+
+    def to_u(t):
+        p = jnp.clip((t - lb) / width, 1e-6, 1.0 - 1e-6)
+        return jnp.log(p) - jnp.log1p(-p)
+
+    def to_t(u):
+        return lb + width * jax.nn.sigmoid(u)
+
+    def obj(u):
+        v = -lml(to_t(u), data)
+        return jnp.where(jnp.isfinite(v), v, 1e25)
+
+    opt = optax.lbfgs()
+    vg = optax.value_and_grad_from_state(obj)
+
+    def solve_one(t0):
+        u0 = to_u(t0)
+        state0 = opt.init(u0)
+
+        def step(carry, _):
+            params, state = carry
+            value, grad = vg(params, state=state)
+            grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+            updates, state = opt.update(
+                grad, state, params, value=value, grad=grad, value_fn=obj
+            )
+            new_params = optax.apply_updates(params, updates)
+            new_params = jnp.where(
+                jnp.isfinite(new_params), new_params, params
+            )
+            return (new_params, state), None
+
+        (uf, _), _ = jax.lax.scan(
+            step, (u0, state0), None, length=maxiter
+        )
+        return to_t(uf), obj(uf)
+
+    tfs, vals = jax.lax.map(solve_one, theta0s)
+    return tfs[jnp.argmin(vals)]
+
+
 def _posterior_robust_body(theta, data, kernel):
     """Posterior factorization with a branchless jitter ladder."""
     Kp = masked_gram(kernel, theta, data.X, data.alpha_diag, data.mask)
@@ -1117,19 +1211,25 @@ class BayesGPR:
                 self.random_state.uniform(bounds[:, 0], bounds[:, 1])
             )
 
-        if self.optimizer == "lbfgs-device" and self.row_mesh is not None:
-            warnings.warn(
-                "optimizer='lbfgs-device' differentiates the whole-gram "
-                "XLA path, which row-sharded mode exists to avoid; "
-                "using the host L-BFGS-B driver with forward-mode "
-                "distributed gradients instead.",
-                UserWarning,
-            )
-        elif self.optimizer == "lbfgs-device":
+        if self.optimizer == "lbfgs-device":
             ok_bounds = bool(
                 np.isfinite(bounds).all()
                 and (bounds[:, 1] > bounds[:, 0]).all()
             )
+            if ok_bounds and self.row_mesh is not None:
+                # whole optimization on device; gradients come from the
+                # adjoint of the distributed sweep (custom VJP), so no
+                # (n_pad, n_pad) factor is ever materialized
+                best = _ml2_device_row(
+                    jnp.asarray(np.stack(starts), dtype=dt),
+                    data,
+                    jnp.asarray(bounds[:, 0], dtype=dt),
+                    jnp.asarray(bounds[:, 1], dtype=dt),
+                    kernel=kernel,
+                    row_cfg=self._row_cfg(),
+                    maxiter=60,
+                )
+                return np.asarray(best, dtype=float)
             if not ok_bounds:
                 # the sigmoid reparameterization needs finite, non-
                 # degenerate bounds; scipy's L-BFGS-B handles both, so

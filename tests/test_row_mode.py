@@ -289,17 +289,44 @@ def test_row_mode_pickle_detaches_mesh():
     )
 
 
-def test_row_mode_lbfgs_device_falls_back():
+def test_row_mode_lbfgs_device_matches_host_driver():
+    """optimizer='lbfgs-device' in row mode runs the whole ML-II warm
+    start as one device program whose gradients come from the adjoint of
+    the distributed sweep (custom VJP) — optimum quality must match the
+    host L-BFGS-B driver on the same row-sharded objective."""
+    from bask_tpu.models.bayesgpr import _row_lml_value
+
     X, y = _problem()
     gp = BayesGPR(
         kernel=_kernel(), random_state=7, row_mesh=_row_mesh(),
         optimizer="lbfgs-device",
     )
+    gp._spec = gp._user_kernel + WhiteKernel(1.0, (1e-5, 1e5))
+    gp._set_data(X, y, None)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        _fit(gp, X, y)
-    assert any("lbfgs-device" in str(x.message) for x in w)
-    assert np.isfinite(gp.theta).all()
+        theta_dev = gp._ml2_optimize()
+    assert not any("lbfgs-device" in str(x.message) for x in w)
+
+    host = BayesGPR(kernel=_kernel(), random_state=7, row_mesh=_row_mesh())
+    host._spec = gp._spec
+    host._set_data(X, y, None)
+    theta_host = host._ml2_optimize()
+
+    def neg_lml(g, t):
+        return -float(
+            _row_lml_value(
+                jnp.asarray(t), g._data, kernel=g._spec,
+                row_cfg=g._row_cfg(),
+            )
+        )
+
+    obj_dev = neg_lml(gp, theta_dev)
+    obj_host = neg_lml(host, theta_host)
+    assert obj_dev <= obj_host + 1e-6 * abs(obj_host) + 1e-6
+    b = gp._spec.bounds
+    assert (theta_dev >= b[:, 0] - 1e-12).all()
+    assert (theta_dev <= b[:, 1] + 1e-12).all()
 
 
 def test_row_mode_progress_and_add():
