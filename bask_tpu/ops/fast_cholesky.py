@@ -90,11 +90,15 @@ def _use_pallas_base(A) -> bool:
 # <=256-wide panel (chol + inverse) in ONE program instead of chaining
 # per-32-base programs with XLA glue matmuls between them. Gate
 # semantics like PALLAS_BASE ("auto"/"on"/"off"); "auto" follows
-# _use_pallas_base. DEFAULT OFF until hardware-validated: the kernel's
-# in-kernel 32-offset minor-dim slices are a Mosaic-lowering risk the
-# CPU interpreter cannot check, and an unvalidated auto-on kernel on
-# the chain's critical path could break every TPU fit (flip to "auto"
-# once the queued v5e A/B has run).
+# _use_pallas_base. MEASURED AND REJECTED as default on v5e-1
+# (2026-08-19 A/B, one variant per process, in-scan timing): the
+# (50,512,512) factorization is 920.5 us with the base-32 chain vs
+# 2874.4 us with the panel kernel, and a single (128,128) panel program
+# costs 730.4 us on its own — the in-kernel sequential 32-step sweep
+# plus block forward substitution serializes on the VPU where the
+# chained form lets XLA overlap the glue matmuls. The Mosaic lowering
+# itself is valid (the earlier risk note is resolved); the kernel stays
+# available for experiments via PALLAS_PANEL="on".
 PALLAS_PANEL = "off"
 
 
