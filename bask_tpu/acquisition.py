@@ -139,7 +139,12 @@ class MaxValueSearch(UncertaintyAcquisition):
 
     def __call__(self, mu, std, *args, n_min_samples=1000, key=None, **kwargs):
         if key is None:
-            key = jax.random.PRNGKey(0)
+            # Fresh Gumbel draws per bare call, matching the reference's
+            # use of the global NumPy RNG (bask/acquisition.py:254). The
+            # fused/marginalized dispatchers always pass per-draw keys;
+            # inside jit the trace-time seed is baked in, so traced
+            # callers should pass ``key`` explicitly.
+            key = jax.random.PRNGKey(int(np.random.randint(0, 2**31 - 1)))
         mean = -mu
         std = jnp.maximum(std, 1e-12)
         left = jnp.min(mean - 3.0 * std)

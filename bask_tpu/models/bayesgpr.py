@@ -258,18 +258,18 @@ def _make_log_prob_batch(
     jax.jit,
     static_argnames=(
         "kernel", "priors", "warp_prior", "n_warp", "n_steps", "a", "mesh",
-        "row_cfg",
+        "row_cfg", "moves",
     ),
 )
 def _run_chain(
     data, pos0, key, *,
     kernel, priors, warp_prior, n_warp, n_steps, a=2.0, mesh=None,
-    row_cfg=None,
+    row_cfg=None, moves=None,
 ):
     log_prob = _make_log_prob_batch(
         kernel, priors, warp_prior, n_warp, data, mesh=mesh, row_cfg=row_cfg
     )
-    return run_ensemble(log_prob, pos0, key, n_steps, a=a)
+    return run_ensemble(log_prob, pos0, key, n_steps, a=a, moves=moves)
 
 
 @partial(
@@ -292,12 +292,13 @@ def _init_chain_state(
 @partial(
     jax.jit,
     static_argnames=(
-        "kernel", "priors", "warp_prior", "n_warp", "a", "mesh", "row_cfg"
+        "kernel", "priors", "warp_prior", "n_warp", "a", "mesh", "row_cfg",
+        "moves",
     ),
 )
 def _run_chain_chunk(
     data, state, keys, *, kernel, priors, warp_prior, n_warp, a=2.0,
-    mesh=None, row_cfg=None,
+    mesh=None, row_cfg=None, moves=None,
 ):
     """Advance an existing ensemble state by ``len(keys)`` steps.
 
@@ -305,16 +306,12 @@ def _run_chain_chunk(
     chunks with a host progress tick between them. Fed the same per-step
     key array as the fused path, the produced chain is bit-identical.
     """
-    from ..parallel.mcmc import stretch_step
+    from ..parallel.mcmc import make_step_fn
 
     log_prob = _make_log_prob_batch(
         kernel, priors, warp_prior, n_warp, data, mesh=mesh, row_cfg=row_cfg
     )
-
-    def step(s, k):
-        new = stretch_step(log_prob, s, k, a=a)
-        return new, new.pos
-
+    step = make_step_fn(log_prob, a=a, moves=moves)
     final, chain = jax.lax.scan(step, state, keys)
     return chain, final
 
@@ -355,21 +352,18 @@ def _lml_value_grad(theta, data, *, kernel):
     return jnp.concatenate([v[None], g])
 
 
-@partial(jax.jit, static_argnames=("kernel", "maxiter"))
-def _ml2_device(theta0s, data, lb, ub, *, kernel, maxiter=60):
-    """The WHOLE ML-II warm start in one device program (opt-in via
-    ``BayesGPR(optimizer="lbfgs-device")``): projected L-BFGS (optax,
-    zoom linesearch) on the negative LML, vmapped over restarts, best
-    restart selected on device. No host round trips — the host-driven
-    scipy path costs one packed fetch per L-BFGS step (~40 x ~25 ms
-    through a remote tunnel), this costs one dispatch + one fetch.
+def _ml2_lbfgs_core(theta0s, lb, ub, *, obj_t, maxiter, restart_mapper):
+    """Shared on-device L-BFGS driver for both ML-II device programs.
 
-    Bounds are handled by a smooth sigmoid reparameterization
-    theta = lb + (ub-lb)*sigmoid(u) (a post-update clip-projection was
-    measured to stall against active bounds and lose ~1 nat of LML; the
-    transform matches scipy's L-BFGS-B optimum to ~10 digits on the test
-    problems). The ML estimate is only the chain seed anyway — the
-    reference treats it the same way (``bask/bayesgpr.py:78-79``).
+    ``obj_t`` is the bounded-space objective (negative LML as a finite
+    1e25 sentinel on failed factorizations — the zoom linesearch needs
+    comparable values). Bounds are handled by a smooth sigmoid
+    reparameterization theta = lb + (ub-lb)*sigmoid(u) (a post-update
+    clip-projection was measured to stall against active bounds and
+    lose ~1 nat of LML; the transform matches scipy's L-BFGS-B optimum
+    to ~10 digits on the test problems). ``restart_mapper`` maps
+    ``solve_one`` over the restart batch (``jax.vmap`` for the dense
+    program, ``jax.lax.map`` when restarts must run sequentially).
     """
     import optax
 
@@ -383,9 +377,7 @@ def _ml2_device(theta0s, data, lb, ub, *, kernel, maxiter=60):
         return lb + width * jax.nn.sigmoid(u)
 
     def obj(u):
-        # finite large value instead of inf: the zoom linesearch needs
-        # comparable values on failed factorizations
-        return _neg_lml_plain(kernel, to_t(u), data, inf_value=1e25)
+        return obj_t(to_t(u))
 
     opt = optax.lbfgs()
     vg = optax.value_and_grad_from_state(obj)
@@ -417,20 +409,57 @@ def _ml2_device(theta0s, data, lb, ub, *, kernel, maxiter=60):
         )
         return to_t(uf), obj(uf)
 
-    tfs, vals = jax.vmap(solve_one)(theta0s)
+    tfs, vals = restart_mapper(solve_one, theta0s)
     return tfs[jnp.argmin(vals)]
 
 
-def _row_lml_rev(kernel, row_cfg):
+@partial(jax.jit, static_argnames=("kernel", "maxiter"))
+def _ml2_device(theta0s, data, lb, ub, *, kernel, maxiter=60):
+    """The WHOLE ML-II warm start in one device program (opt-in via
+    ``BayesGPR(optimizer="lbfgs-device")``): projected L-BFGS (optax,
+    zoom linesearch) on the negative LML, vmapped over restarts, best
+    restart selected on device. No host round trips — the host-driven
+    scipy path costs one packed fetch per L-BFGS step (~40 x ~25 ms
+    through a remote tunnel), this costs one dispatch + one fetch.
+    The ML estimate is only the chain seed anyway — the reference
+    treats it the same way (``bask/bayesgpr.py:78-79``).
+    """
+
+    def obj_t(t):
+        return _neg_lml_plain(kernel, t, data, inf_value=1e25)
+
+    return _ml2_lbfgs_core(
+        theta0s, lb, ub, obj_t=obj_t, maxiter=maxiter,
+        restart_mapper=lambda f, xs: jax.vmap(f)(xs),
+    )
+
+
+def _canonical_moves(moves):
+    """Normalize a user ``moves`` spec to the hashable tuple-of-tuples
+    the jitted chain programs take as a static argument (``None`` stays
+    ``None`` — the bit-stable pure-stretch path). Validates eagerly so a
+    typo fails at construction, not at the first jit trace."""
+    if moves is None:
+        return None
+    from ..parallel.mcmc import _normalize_moves
+
+    canon = tuple((str(n), float(w)) for n, w in moves)
+    _normalize_moves(canon, 2.0)
+    return canon
+
+
+def _row_lml_rev(kernel, row_cfg, grad_method="adjoint"):
     """Reverse-differentiable row-sharded LML: ``f(theta, data) -> lml``.
 
     The distributed sweep cannot be reverse-differentiated directly
     (saving every panel would cost O(steps·n²/P) memory), so the VJP is
-    the closed-form adjoint gradient (``dist_chol`` ``method="adjoint"``,
-    ~3 distributed passes). ONLY the theta cotangent is real — ``data``
-    is treated as a constant (zero cotangent), which is exactly the
-    ML-II contract this exists for. Do not use it to differentiate
-    through the training data.
+    one of the storage-free ``dist_chol`` gradients chosen by
+    ``grad_method`` — ``"adjoint"`` (D-independent cost, ~4-5 gram
+    strips of peak memory) or ``"jvp"`` (D sweeps, leanest ~2-strip
+    memory; honors the row ``unroll`` flag). ONLY the theta cotangent
+    is real — ``data`` is treated as a constant (zero cotangent), which
+    is exactly the ML-II contract this exists for. Do not use it to
+    differentiate through the training data.
     """
     from ..ops.dist_chol import (
         row_sharded_lml,
@@ -449,7 +478,7 @@ def _row_lml_rev(kernel, row_cfg):
     def fwd(theta, data):
         v, g = row_sharded_lml_value_grad(
             kernel, theta, data.X, data.y, data.alpha_diag, data.mask,
-            mesh, nb=nb, method="adjoint",
+            mesh, nb=nb, unroll=unroll, method=grad_method,
         )
         return v, (g, data)
 
@@ -461,58 +490,33 @@ def _row_lml_rev(kernel, row_cfg):
     return f
 
 
-@partial(jax.jit, static_argnames=("kernel", "row_cfg", "maxiter"))
-def _ml2_device_row(theta0s, data, lb, ub, *, kernel, row_cfg, maxiter=60):
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "row_cfg", "maxiter", "grad_method"),
+)
+def _ml2_device_row(
+    theta0s, data, lb, ub, *, kernel, row_cfg, maxiter=60,
+    grad_method="adjoint",
+):
     """Row-sharded counterpart of :func:`_ml2_device`: the whole ML-II
-    warm start in one device program, gradients from the adjoint of the
-    distributed sweep (never an (n_pad, n_pad) factor). Restarts run
-    sequentially under ``lax.map`` — at huge n the rows own the mesh's
-    parallelism and a vmapped restart batch would multiply peak memory.
-    Same sigmoid bound transform and NaN guards as the dense program.
+    warm start in one device program, gradients from the distributed
+    sweep (``grad_method``, see :func:`_row_lml_rev`; never an
+    (n_pad, n_pad) factor). Restarts run sequentially under ``lax.map``
+    — at huge n the rows own the mesh's parallelism and a vmapped
+    restart batch would multiply peak memory. Same sigmoid bound
+    transform and NaN guards as the dense program
+    (:func:`_ml2_lbfgs_core`).
     """
-    import optax
+    lml = _row_lml_rev(kernel, row_cfg, grad_method)
 
-    lml = _row_lml_rev(kernel, row_cfg)
-    width = ub - lb
-
-    def to_u(t):
-        p = jnp.clip((t - lb) / width, 1e-6, 1.0 - 1e-6)
-        return jnp.log(p) - jnp.log1p(-p)
-
-    def to_t(u):
-        return lb + width * jax.nn.sigmoid(u)
-
-    def obj(u):
-        v = -lml(to_t(u), data)
+    def obj_t(t):
+        v = -lml(t, data)
         return jnp.where(jnp.isfinite(v), v, 1e25)
 
-    opt = optax.lbfgs()
-    vg = optax.value_and_grad_from_state(obj)
-
-    def solve_one(t0):
-        u0 = to_u(t0)
-        state0 = opt.init(u0)
-
-        def step(carry, _):
-            params, state = carry
-            value, grad = vg(params, state=state)
-            grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
-            updates, state = opt.update(
-                grad, state, params, value=value, grad=grad, value_fn=obj
-            )
-            new_params = optax.apply_updates(params, updates)
-            new_params = jnp.where(
-                jnp.isfinite(new_params), new_params, params
-            )
-            return (new_params, state), None
-
-        (uf, _), _ = jax.lax.scan(
-            step, (u0, state0), None, length=maxiter
-        )
-        return to_t(uf), obj(uf)
-
-    tfs, vals = jax.lax.map(solve_one, theta0s)
-    return tfs[jnp.argmin(vals)]
+    return _ml2_lbfgs_core(
+        theta0s, lb, ub, obj_t=obj_t, maxiter=maxiter,
+        restart_mapper=jax.lax.map,
+    )
 
 
 def _posterior_robust_body(theta, data, kernel):
@@ -560,17 +564,22 @@ def _row_lml_value(theta, data, *, kernel, row_cfg):
     )
 
 
-@partial(jax.jit, static_argnames=("kernel", "row_cfg"))
-def _row_lml_value_grad(theta, data, *, kernel, row_cfg):
+@partial(jax.jit, static_argnames=("kernel", "row_cfg", "grad_method"))
+def _row_lml_value_grad(theta, data, *, kernel, row_cfg,
+                        grad_method="adjoint"):
     """Negated LML value+grad packed as [value, grad...] — the row-mode
-    counterpart of :func:`_lml_value_grad` (forward-mode through the
-    sweep; see ``dist_chol.row_sharded_lml_value_grad``)."""
+    counterpart of :func:`_lml_value_grad`. ``grad_method`` selects the
+    distributed gradient (``dist_chol.row_sharded_lml_value_grad``):
+    ``"adjoint"`` (default) does ~3 sweeps regardless of D but holds
+    ~4-5 gram strips; ``"jvp"`` does D forward-mode sweeps at the
+    leanest ~2-strip memory and is the only path honoring the row
+    ``unroll`` flag (``BayesGPR(row_grad_method=...)`` plumbs this)."""
     from ..ops.dist_chol import row_sharded_lml_value_grad
 
     mesh, nb, unroll = row_cfg
     v, g = row_sharded_lml_value_grad(
         kernel, theta, data.X, data.y, data.alpha_diag, data.mask,
-        mesh, nb=nb, unroll=unroll,
+        mesh, nb=nb, unroll=unroll, method=grad_method,
     )
     return jnp.concatenate([(-v)[None], -g])
 
@@ -643,13 +652,13 @@ def _consensus_state(theta, la, lb, data, *, kernel, n_warp, with_lml=True):
     jax.jit,
     static_argnames=(
         "kernel", "priors", "warp_prior", "n_warp", "n_steps", "a",
-        "discard", "thin", "mesh",
+        "discard", "thin", "mesh", "moves",
     ),
 )
 def _fused_sample(
     data, pos0, key, *,
     kernel, priors, warp_prior, n_warp, n_steps, a, discard, thin,
-    mesh=None,
+    mesh=None, moves=None,
 ):
     """ONE device program for the whole warm-fit path (VERDICT r2 #1):
     MCMC chain -> kept-step selection -> geometric median -> consensus
@@ -666,7 +675,9 @@ def _fused_sample(
     log_prob = _make_log_prob_batch(
         kernel, priors, warp_prior, n_warp, data, mesh=mesh
     )
-    chain, final = run_ensemble(log_prob, pos0, key, n_steps, a=a)
+    chain, final = run_ensemble(
+        log_prob, pos0, key, n_steps, a=a, moves=moves
+    )
     kept = chain[discard + thin - 1 :: thin]
     # the barrier materializes the flat chain exactly as the legacy
     # path's separate dispatch would — without it XLA folds the slice
@@ -896,6 +907,8 @@ class BayesGPR:
         row_mesh=None,
         row_nb: int = 256,
         row_unroll: bool = False,
+        row_grad_method: str = "adjoint",
+        moves=None,
     ):
         if kernel is None:
             kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
@@ -932,9 +945,21 @@ class BayesGPR:
                     "replicated X, but warping makes X per-walker. "
                     "Use mesh= walker sharding for warped models."
                 )
+        if row_grad_method not in ("adjoint", "jvp"):
+            raise ValueError(
+                "row_grad_method must be 'adjoint' (D-independent cost, "
+                "~4-5 gram strips of peak memory) or 'jvp' (D sweeps, "
+                f"leanest ~2-strip memory), got {row_grad_method!r}"
+            )
         self.row_mesh = row_mesh
         self.row_nb = int(row_nb)
         self.row_unroll = bool(row_unroll)
+        self.row_grad_method = row_grad_method
+        # ensemble move mixture, e.g. (("de", 0.8), ("snooker", 0.2));
+        # None = the historical pure-stretch chain (bit-stable).
+        # Normalized eagerly to a hashable tuple — it rides the jitted
+        # chain programs as a static argument.
+        self.moves = _canonical_moves(moves)
         if isinstance(random_state, np.random.RandomState):
             self.random_state = random_state
         else:
@@ -1091,6 +1116,8 @@ class BayesGPR:
         state.setdefault("row_mesh", None)
         state.setdefault("row_nb", 256)
         state.setdefault("row_unroll", False)
+        state.setdefault("row_grad_method", "adjoint")
+        state.setdefault("moves", None)
         state.setdefault("_pending", None)
         self.__dict__.update(state)
 
@@ -1218,7 +1245,7 @@ class BayesGPR:
             )
             if ok_bounds and self.row_mesh is not None:
                 # whole optimization on device; gradients come from the
-                # adjoint of the distributed sweep (custom VJP), so no
+                # distributed sweep (custom VJP, row_grad_method), so no
                 # (n_pad, n_pad) factor is ever materialized
                 best = _ml2_device_row(
                     jnp.asarray(np.stack(starts), dtype=dt),
@@ -1228,6 +1255,7 @@ class BayesGPR:
                     kernel=kernel,
                     row_cfg=self._row_cfg(),
                     maxiter=60,
+                    grad_method=self.row_grad_method,
                 )
                 return np.asarray(best, dtype=float)
             if not ok_bounds:
@@ -1261,6 +1289,7 @@ class BayesGPR:
                 vg_dev = _row_lml_value_grad(
                     jnp.asarray(t, dtype=dt), data,
                     kernel=kernel, row_cfg=row_cfg,
+                    grad_method=self.row_grad_method,
                 )
             else:
                 vg_dev = aot_call(
@@ -1435,6 +1464,7 @@ class BayesGPR:
         add: bool = False,
         mesh=None,
         warn_rhat: Optional[float] = None,
+        moves=None,
         _defer_fetch: bool = False,
         **kwargs,
     ):
@@ -1465,6 +1495,15 @@ class BayesGPR:
         ``bask/bayesgpr.py:510-534``). Consensus-median estimates are
         usually usable well before strict convergence, hence a warning
         rather than an error.
+
+        ``moves``: optional ensemble move mixture as ``(name, weight)``
+        pairs with names in {"stretch", "de", "snooker"} — e.g.
+        ``(("de", 0.8), ("snooker", 0.2))``; overrides the constructor
+        default for this call. ``None`` (with no constructor default)
+        is the historical pure-stretch chain, bit-identical across
+        versions. The reference's emcee sampler exposes the same choice
+        via ``moves=`` (emcee ≥3; ``bask/bayesgpr.py:510-524`` uses the
+        default stretch move).
         """
         if self._pending is not None:
             # a previous deferred sample was never finalized (misuse or
@@ -1549,6 +1588,11 @@ class BayesGPR:
             pos_dev = shard_walkers(pos_dev, mesh, axis=mesh.axis_names[0])
         a_scale = float(kwargs.get("a", 2.0))  # stretch-move scale (the
         # reference forwards sampler kwargs to emcee similarly)
+        # per-call moves override the constructor default; both are
+        # canonicalized to the hashable static form (None = pure stretch)
+        moves = (
+            _canonical_moves(moves) if moves is not None else self.moves
+        )
 
         use_fused = (
             FUSED_SAMPLE == "on"
@@ -1580,6 +1624,7 @@ class BayesGPR:
                 discard=n_burnin,
                 thin=n_thin,
                 mesh=mesh,
+                moves=moves,
             )
             # Slice with the ACTUAL ensemble shape: a user-supplied
             # position= may carry a different walker count than the
@@ -1665,6 +1710,7 @@ class BayesGPR:
                     a=a_scale,
                     mesh=mesh,
                     row_cfg=row_cfg,
+                    moves=moves,
                 )
                 parts.append(part)
                 i += ks.shape[0]
@@ -1686,6 +1732,7 @@ class BayesGPR:
                 a=a_scale,
                 mesh=mesh,
                 row_cfg=row_cfg,
+                moves=moves,
             )
         flat = flatten_chain(chain_dev, discard=n_burnin, thin=n_thin)
         # same kept-step selection as flatten_chain (emcee semantics)

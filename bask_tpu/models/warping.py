@@ -21,7 +21,13 @@ from jax.scipy.special import betainc
 
 from ..utils.stats import norm_logpdf
 
-__all__ = ["warp", "unwarp", "default_warp_log_prior", "split_warp_params"]
+__all__ = [
+    "warp",
+    "unwarp",
+    "warp_grad",
+    "default_warp_log_prior",
+    "split_warp_params",
+]
 
 
 def warp(X, log_alphas, log_betas):
@@ -29,6 +35,29 @@ def warp(X, log_alphas, log_betas):
     a = jnp.exp(log_alphas)[None, :]
     b = jnp.exp(log_betas)[None, :]
     return betainc(a, b, jnp.clip(X, 0.0, 1.0))
+
+
+def warp_grad(X, log_alphas, log_betas):
+    """Elementwise ∂warp/∂x — the Beta(a_d, b_d) pdf at each entry.
+
+    The warp is columnwise, so its Jacobian at a point is diagonal;
+    this returns the (n, d) diagonal. Used to chain-rule prediction
+    gradients from the warped space back to the original inputs
+    (the autodiff dense path differentiates through ``betainc``
+    directly; the row-sharded sweep computes gradients in the warped
+    space, so the factor is applied explicitly). The 1e-12 clip matches
+    autodiff's behavior at the boundary up to the clip width.
+    """
+    from jax.scipy.special import betaln
+
+    a = jnp.exp(log_alphas)[None, :]
+    b = jnp.exp(log_betas)[None, :]
+    x = jnp.clip(X, 1e-12, 1.0 - 1e-12)
+    return jnp.exp(
+        (a - 1.0) * jnp.log(x)
+        + (b - 1.0) * jnp.log1p(-x)
+        - betaln(a, b)
+    )
 
 
 def unwarp(Z, log_alphas, log_betas, n_iter: int = 60):

@@ -336,8 +336,22 @@ def _sweep_strip(theta, X, Xq, y, alpha_diag, mask, *, kernel, ax,
 
 
 def _lml_strip_body(theta, X, y, alpha_diag, mask, *, kernel, ax, P_sz,
-                    nb, unroll=False):
-    """shard_map body: masked LML from the distributed sweep."""
+                    nb, unroll=False, n_warp=0):
+    """shard_map body: masked LML from the distributed sweep.
+
+    ``n_warp > 0`` makes ``theta`` a full MCMC row (kernel theta + warp
+    log-alphas + log-betas): the Beta-CDF warp is applied to the
+    replicated ``X`` INSIDE the body — the warp is elementwise, so each
+    walker's warped inputs cost O(n·d) transient compute per evaluation
+    and nothing persistent, which is what lets warped models run in
+    row-sharded mode at all (a per-walker (W, n, d) warped-X batch is
+    exactly the kind of replicated memory this module exists to avoid).
+    """
+    if n_warp:
+        from ..models import warping as _wp
+
+        theta, la, lb = _wp.split_warp_params(theta, n_warp)
+        X = _wp.warp(X, la, lb)
     quad, logdet, _, _, _, _, _ = _sweep_strip(
         theta, X, None, y, alpha_diag, mask,
         kernel=kernel, ax=ax, P_sz=P_sz, nb=nb, unroll=unroll,
@@ -702,7 +716,13 @@ def row_sharded_predict(
         ddiag = jax.vmap(
             jax.grad(lambda x: kernel.diag(tq, x[None, :])[0])
         )(Xq)
-        std = jnp.sqrt(jnp.maximum(kernel.diag(tq, Xq) - qnorm, 1e-30))
+        # same clipping as the reported std (var floored at 0, NOT a
+        # tiny epsilon): where the variance clips to exactly 0 — e.g. a
+        # query coinciding with a training point under noise-free
+        # theta_diag — the division propagates inf/nan exactly like the
+        # dense path's autodiff through sqrt(max(var, 0)), instead of
+        # silently emitting huge finite garbage gradients
+        std = jnp.sqrt(jnp.maximum(kernel.diag(tq, Xq) - qnorm, 0.0))
         out.append(y_std * dotg)
         out.append(y_std * (0.5 * ddiag - qcross) / std[:, None])
     if return_lml:
@@ -743,20 +763,24 @@ def row_sharded_sample_y(
 
 
 def row_sharded_lml_batch(
-    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256, unroll=False
+    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256, unroll=False,
+    n_warp=0,
 ):
     """(W, n_theta) → (W,) LMLs, each factorization row-sharded.
 
     Walkers run sequentially (``lax.map``): this path is for n so large
     that one gram strains a chip — there, walker-axis parallelism is
     already out of memory and the mesh's parallelism goes to the rows.
+    ``n_warp > 0``: rows carry per-walker Beta-CDF warp parameters,
+    applied to the replicated ``X`` inside each walker's sweep (see
+    ``_lml_strip_body``).
     """
     ax, P_sz, nb = _prep_row_mesh(
         mesh, X.shape[0], nb, "row_sharded_lml_batch"
     )
     body = partial(
         _lml_strip_body, kernel=kernel, ax=ax, P_sz=P_sz, nb=nb,
-        unroll=unroll,
+        unroll=unroll, n_warp=n_warp,
     )
 
     def mapped(thetas, X, y, alpha_diag, mask):
@@ -775,7 +799,8 @@ def row_sharded_lml_batch(
 
 
 def walker_row_sharded_lml(
-    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256, unroll=False
+    kernel, thetas, X, y, alpha_diag, mask, mesh, nb=256, unroll=False,
+    n_warp=0,
 ):
     """(W, n_theta) → (W,) LMLs on a 2-D (walker × row) mesh.
 
@@ -813,7 +838,7 @@ def walker_row_sharded_lml(
     nb = pick_row_nb(n // P_sz, nb)
     body = partial(
         _lml_strip_body, kernel=kernel, ax=r_ax, P_sz=P_sz, nb=nb,
-        unroll=unroll,
+        unroll=unroll, n_warp=n_warp,
     )
 
     def mapped(thetas_loc, X, y, alpha_diag, mask):

@@ -86,33 +86,19 @@ def _use_pallas_base(A) -> bool:
     return is_tpu_like_backend()
 
 
-# Whole-panel Pallas kernel (pallas_chol_panel.py): factorizes an entire
-# <=256-wide panel (chol + inverse) in ONE program instead of chaining
-# per-32-base programs with XLA glue matmuls between them. Gate
-# semantics like PALLAS_BASE ("auto"/"on"/"off"); "auto" follows
-# _use_pallas_base. MEASURED AND REJECTED as default on v5e-1
-# (2026-08-19 A/B, one variant per process, in-scan timing): the
-# (50,512,512) factorization is 920.5 us with the base-32 chain vs
-# 2874.4 us with the panel kernel, and a single (128,128) panel program
-# costs 730.4 us on its own — the in-kernel sequential 32-step sweep
-# plus block forward substitution serializes on the VPU where the
-# chained form lets XLA overlap the glue matmuls. The Mosaic lowering
-# itself is valid (the earlier risk note is resolved); the kernel stays
-# available for experiments via PALLAS_PANEL="on".
-PALLAS_PANEL = "off"
-
-
-def _use_pallas_panel(A) -> bool:
-    n = A.shape[-1]
-    if n % 32 != 0 or PALLAS_PANEL == "off":
-        return False
-    from .pallas_chol_panel import PANEL_MAX
-
-    if n > PANEL_MAX:
-        return False
-    if PALLAS_PANEL == "on":
-        return A.dtype == jnp.float32
-    return _use_pallas_base(A)
+# There is deliberately NO whole-panel Pallas kernel: a kernel
+# factorizing an entire <=256-wide panel (chol + inverse) in one program
+# was built in round 3 and MEASURED AND REJECTED on v5e-1 (two
+# independent A/Bs, 2026-08-19, one variant per process, in-scan
+# timing): the (50,512,512) factorization was 898-921 us with the
+# base-32 chain vs 2861-2874 us with the panel kernel, and a single
+# (50,128,128) panel program cost 706-730 us on its own — the
+# in-kernel sequential 32-step sweep plus block forward substitution
+# serializes on the VPU where the chained form lets XLA overlap the
+# glue matmuls between the fused 32-wide base programs. Numbers in
+# BASELINE.md ("panel kernel A/B"); the kernel was deleted rather than
+# kept default-off (an unused kernel on the critical path is risk, not
+# value — VERDICT r3).
 
 
 def _unrolled_chol(A):
@@ -180,10 +166,6 @@ def _chol_inv_recursive(A):
             return chol_inv_base(A)
         L = _base_chol(A)
         return L, tri_newton_inv(L, n)
-    if _use_pallas_panel(A):
-        from .pallas_chol_panel import chol_inv_panel
-
-        return chol_inv_panel(A)
     h = n // 2
     A11 = A[..., :h, :h]
     A21 = A[..., h:, :h]
@@ -254,10 +236,8 @@ def block_cholesky(A, nb: int | None = None):
     n = A.shape[-1]
     if nb is None:
         nb = pick_nb(n)
-    if n <= nb or _use_pallas_panel(A):
-        # whole matrix in one recursion — including any n <= PANEL_MAX
-        # on the panel-kernel path (one program beats paneling + glue;
-        # e.g. bucket-192/256 fits become single-program factorizations)
+    if n <= nb:
+        # whole matrix in one recursion
         L, L_inv = _chol_inv_recursive(A)
         return L, [L_inv]
     M = A

@@ -52,10 +52,9 @@ def chol_inv_steps(M):
     """(wb, m, m) -> (L, X=L^-1): the fully-unrolled right-looking step
     chain (masked-iota pivot extraction, no dynamic lane slices).
 
-    Pure value-in/value-out so it is shared VERBATIM by this kernel and
-    the whole-panel kernel's diagonal blocks
-    (:mod:`pallas_chol_panel`) — a numerics or Mosaic-lowering change
-    here changes both in lockstep.
+    Pure value-in/value-out (trivially reusable by other kernels; a
+    round-3 whole-panel kernel consumed it before being measured out —
+    see fast_cholesky's panel note).
     """
     m = M.shape[1]
     dt = M.dtype

@@ -29,7 +29,15 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["EnsembleState", "init_ensemble", "run_ensemble", "stretch_step"]
+__all__ = [
+    "EnsembleState",
+    "init_ensemble",
+    "run_ensemble",
+    "stretch_step",
+    "de_step",
+    "snooker_step",
+    "make_step_fn",
+]
 
 
 class EnsembleState(NamedTuple):
@@ -94,17 +102,249 @@ def stretch_step(
     )
 
 
-@partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "a"))
+def _de_half_update(
+    log_prob_fn, active, lp_active, other, key, gamma, sigma
+):
+    """Differential-evolution update of ``active`` against ``other``.
+
+    ter Braak (2006) / emcee's ``DEMove``: each active walker proposes
+    x' = x + gamma·(x_j − x_k) + sigma·N(0, I) with j ≠ k drawn from the
+    complementary half. The (j, k) pair is exchangeable and the noise is
+    symmetric, so the proposal density is symmetric and the acceptance
+    factor is the bare posterior ratio. The difference vectors inherit
+    the ensemble's own covariance — in correlated, high-D posteriors
+    this mixes far faster than the isotropic stretch move (the binding
+    constraint measured in round 3: R-hat 1.8 at 300 steps).
+    """
+    h, D = active.shape
+    k_j, k_k, k_eps, k_accept = jax.random.split(key, 4)
+    c = other.shape[0]
+    j = jax.random.randint(k_j, (h,), 0, c)
+    k2 = jax.random.randint(k_k, (h,), 0, c - 1)
+    k2 = k2 + (k2 >= j)  # distinct second index
+    diff = other[j] - other[k2]  # cross-half gather (all-gather sharded)
+    eps = sigma * jax.random.normal(k_eps, (h, D), dtype=active.dtype)
+    prop = active + gamma * diff + eps
+    lp_prop = log_prob_fn(prop)
+    log_ratio = lp_prop - lp_active
+    accept = (
+        jnp.log(jax.random.uniform(k_accept, (h,), dtype=active.dtype))
+        < log_ratio
+    )
+    new_active = jnp.where(accept[:, None], prop, active)
+    new_lp = jnp.where(accept, lp_prop, lp_active)
+    return new_active, new_lp, jnp.sum(accept).astype(jnp.int32)
+
+
+def de_step(
+    log_prob_fn: Callable,
+    state: EnsembleState,
+    key,
+    gamma0: float | None = None,
+    sigma: float = 1e-5,
+    jump_prob: float = 0.1,
+) -> EnsembleState:
+    """One full DE ensemble step (both complementary halves).
+
+    ``gamma0`` defaults to the 2.38/sqrt(2·D) optimal-scaling value;
+    with probability ``jump_prob`` the whole step uses gamma = 1 — the
+    full-difference "mode jump" that lets walkers hop between posterior
+    modes (ter Braak 2006 §2; emcee recommends the same mixture).
+    """
+    W, D = state.pos.shape
+    half = W // 2
+    if gamma0 is None:
+        gamma0 = 2.38 / (2.0 * D) ** 0.5
+    k_jump, k0, k1 = jax.random.split(key, 3)
+    jump = jax.random.bernoulli(k_jump, jump_prob)
+    gamma = jnp.where(jump, jnp.asarray(1.0, state.pos.dtype), gamma0)
+
+    first, second = state.pos[:half], state.pos[half:]
+    lp_first, lp_second = state.log_prob[:half], state.log_prob[half:]
+
+    first, lp_first, acc0 = _de_half_update(
+        log_prob_fn, first, lp_first, second, k0, gamma, sigma
+    )
+    second, lp_second, acc1 = _de_half_update(
+        log_prob_fn, second, lp_second, first, k1, gamma, sigma
+    )
+    return EnsembleState(
+        pos=jnp.concatenate([first, second]),
+        log_prob=jnp.concatenate([lp_first, lp_second]),
+        accepted=state.accepted + acc0 + acc1,
+    )
+
+
+def _snooker_half_update(
+    log_prob_fn, active, lp_active, other, key, gamma_s
+):
+    """Snooker update of ``active`` against ``other`` (ter Braak &
+    Vrugt 2008; emcee's ``DESnookerMove``).
+
+    Each active walker x picks three distinct anchors z, z1, z2 from
+    the complementary half and proposes along the line through x and z:
+
+        x' = x + gamma_s · (u·z1 − u·z2) · u,   u = (x − z)/‖x − z‖
+
+    The step length scales with the walker's DISTANCE from the
+    ensemble, so an outlier walker (e.g. stranded in a secondary
+    posterior mode) recovers in O(1) accepted moves where plain DE
+    random-walks back in bulk-spread-sized steps. The proposal is not
+    symmetric; detailed balance needs the Jacobian factor
+    (‖x' − z‖/‖x − z‖)^(D−1) in the acceptance ratio.
+    """
+    h, D = active.shape
+    k_z, k_z1, k_z2, k_accept = jax.random.split(key, 4)
+    c = other.shape[0]
+    iz = jax.random.randint(k_z, (h,), 0, c)
+    i1 = jax.random.randint(k_z1, (h,), 0, c - 1)
+    i1 = i1 + (i1 >= iz)
+    lo = jnp.minimum(iz, i1)
+    hi = jnp.maximum(iz, i1)
+    i2 = jax.random.randint(k_z2, (h,), 0, c - 2)
+    i2 = i2 + (i2 >= lo)
+    i2 = i2 + (i2 >= hi)  # three distinct anchor indices
+    z, z1, z2 = other[iz], other[i1], other[i2]
+    delta = active - z
+    norm = jnp.sqrt(jnp.sum(delta * delta, axis=1))
+    # x == z (possible after an accepted full-difference DE jump) gives
+    # u = 0 -> proposal = x and a nan log-ratio below; the nan compares
+    # False so the degenerate proposal is simply rejected
+    u = delta / jnp.maximum(norm, 1e-35)[:, None]
+    proj = jnp.sum(u * (z1 - z2), axis=1)
+    prop = active + gamma_s * proj[:, None] * u
+    lp_prop = log_prob_fn(prop)
+    norm_prop = jnp.sqrt(jnp.sum((prop - z) ** 2, axis=1))
+    log_ratio = (
+        (D - 1.0) * (jnp.log(norm_prop) - jnp.log(norm))
+        + lp_prop
+        - lp_active
+    )
+    accept = (
+        jnp.log(jax.random.uniform(k_accept, (h,), dtype=active.dtype))
+        < log_ratio
+    )
+    new_active = jnp.where(accept[:, None], prop, active)
+    new_lp = jnp.where(accept, lp_prop, lp_active)
+    return new_active, new_lp, jnp.sum(accept).astype(jnp.int32)
+
+
+def snooker_step(
+    log_prob_fn: Callable,
+    state: EnsembleState,
+    key,
+    gamma_s: float = 1.7,
+) -> EnsembleState:
+    """One full snooker ensemble step (both complementary halves).
+
+    ``gamma_s = 1.7`` is the ter Braak & Vrugt (2008) recommendation.
+    """
+    W, _ = state.pos.shape
+    half = W // 2
+    k0, k1 = jax.random.split(key)
+
+    first, second = state.pos[:half], state.pos[half:]
+    lp_first, lp_second = state.log_prob[:half], state.log_prob[half:]
+
+    first, lp_first, acc0 = _snooker_half_update(
+        log_prob_fn, first, lp_first, second, k0, gamma_s
+    )
+    second, lp_second, acc1 = _snooker_half_update(
+        log_prob_fn, second, lp_second, first, k1, gamma_s
+    )
+    return EnsembleState(
+        pos=jnp.concatenate([first, second]),
+        log_prob=jnp.concatenate([lp_first, lp_second]),
+        accepted=state.accepted + acc0 + acc1,
+    )
+
+
+_MOVE_NAMES = ("stretch", "de", "snooker")
+
+
+def _normalize_moves(moves, a):
+    """Validate a ``moves`` spec — a tuple of ``(name, weight)`` pairs —
+    and return ``(names, normalized_weights)``. ``None`` means the
+    bit-stable pure-stretch path."""
+    if not moves:
+        raise ValueError("moves must be a non-empty tuple of (name, weight)")
+    names, weights = [], []
+    for name, weight in moves:
+        if name not in _MOVE_NAMES:
+            raise ValueError(
+                f"unknown move {name!r} (expected one of {_MOVE_NAMES})"
+            )
+        if weight < 0:
+            raise ValueError(f"move weight must be >= 0, got {weight}")
+        names.append(name)
+        weights.append(float(weight))
+    total = sum(weights)
+    if total <= 0:
+        raise ValueError("move weights must sum to a positive value")
+    return tuple(names), tuple(w / total for w in weights)
+
+
+def make_step_fn(log_prob_fn: Callable, a: float = 2.0, moves=None):
+    """Build the per-step ensemble transition for ``lax.scan``.
+
+    ``moves=None`` returns the plain stretch step (bit-identical to the
+    historical chains — every golden test rides this path). Otherwise
+    ``moves`` is a hashable tuple of ``(name, weight)`` with names in
+    {"stretch", "de", "snooker"}: each step draws one move from the
+    weights (a random-scan mixture of reversible kernels keeps the
+    posterior stationary) and dispatches via ``lax.switch``.
+    """
+    if moves is None:
+        def step(state, k):
+            new = stretch_step(log_prob_fn, state, k, a=a)
+            return new, new.pos
+
+        return step
+
+    def _move_fn(name):
+        if name == "stretch":
+            return lambda s, kk: stretch_step(log_prob_fn, s, kk, a=a)
+        if name == "de":
+            return lambda s, kk: de_step(log_prob_fn, s, kk)
+        return lambda s, kk: snooker_step(log_prob_fn, s, kk)
+
+    names, weights = _normalize_moves(moves, a)
+    if len(names) == 1:
+        fn = _move_fn(names[0])
+
+        def step(state, k):
+            new = fn(state, k)
+            return new, new.pos
+
+        return step
+
+    branches = [_move_fn(name) for name in names]
+    w = jnp.asarray(weights)
+
+    def step(state, k):
+        k_move, k_step = jax.random.split(k)
+        idx = jax.random.choice(k_move, len(branches), p=w)
+        new = jax.lax.switch(idx, branches, state, k_step)
+        return new, new.pos
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "a", "moves"))
 def run_ensemble(
     log_prob_fn: Callable,
     pos0: jnp.ndarray,
     key,
     n_steps: int,
     a: float = 2.0,
+    moves=None,
 ):
     """Run ``n_steps`` full ensemble steps from ``pos0``.
 
-    ``log_prob_fn`` must be *batched*: (W, D) -> (W,).
+    ``log_prob_fn`` must be *batched*: (W, D) -> (W,). ``moves`` is an
+    optional hashable tuple of ``(name, weight)`` pairs mixing the
+    stretch and DE moves per step (see :func:`make_step_fn`); ``None``
+    keeps the historical pure-stretch chain bit-identical.
 
     Returns ``(chain, final_state)`` with ``chain`` of shape
     (n_steps, W, D) — one sample per walker per step, matching emcee's
@@ -113,11 +353,7 @@ def run_ensemble(
     """
     state0 = init_ensemble(log_prob_fn, pos0)
     keys = jax.random.split(key, n_steps)
-
-    def step(state, k):
-        new = stretch_step(log_prob_fn, state, k, a=a)
-        return new, new.pos
-
+    step = make_step_fn(log_prob_fn, a=a, moves=moves)
     final, chain = jax.lax.scan(step, state0, keys)
     return chain, final
 

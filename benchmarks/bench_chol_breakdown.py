@@ -65,51 +65,24 @@ def main():
     elif variant == "panelp":
         # panel recursion with the pallas base
         fc.PALLAS_BASE = "on"
-        fc.PALLAS_PANEL = "off"
         A = jnp.asarray(_pd(rng, 128), dtype=jnp.float32)
 
         def op(A):
             L, inv = fc._chol_inv_recursive(A)
             return L[0, 0, 0] + inv[-1, -1, -1]
 
-    elif variant.startswith("ppanel"):
-        # whole-panel pallas kernel at size m: "ppanel128"
-        from bask_tpu.ops.pallas_chol_panel import chol_inv_panel
-
-        m = int(variant[len("ppanel"):])
-        A = jnp.asarray(_pd(rng, m), dtype=jnp.float32)
-
-        def op(A):
-            L, X = chol_inv_panel(A)
-            return L[0, 0, 0] + X[-1, -1, -1]
-
-    elif variant in ("full-panel", "full-nopanel"):
-        # the full (50,512,512) factorization, panel kernel A/B
+    elif variant == "full-nopanel":
+        # the full (50,512,512) factorization (the name survives the
+        # round-3 panel A/B that deleted the losing panel kernel)
         fc.PALLAS_BASE = "on"
-        fc.PALLAS_PANEL = "on" if variant == "full-panel" else "off"
         A = jnp.asarray(_pd(rng, N, w=50), dtype=jnp.float32)
 
         def op(A):
             L, invs = fc.block_cholesky(A, nb=128)
             return L[0, 0, 0] + invs[-1][-1, -1, -1]
 
-    elif variant == "full-panel512":
-        # EXPERIMENT: the whole (512,512) matrix as ONE panel program per
-        # wb walkers (raises the PANEL_MAX knob; compile may be slow)
-        from bask_tpu.ops import pallas_chol_panel as pcp
-
-        fc.PALLAS_BASE = "on"
-        fc.PALLAS_PANEL = "on"
-        pcp.PANEL_MAX = 512
-        A = jnp.asarray(_pd(rng, N, w=50), dtype=jnp.float32)
-
-        def op(A):
-            L, invs = fc.block_cholesky(A, nb=512)
-            return L[0, 0, 0] + invs[-1][-1, -1, -1]
-
     elif variant in ("w100-pallas", "w100-xla"):
         fc.PALLAS_BASE = "on" if variant == "w100-pallas" else "off"
-        fc.PALLAS_PANEL = "off"  # measure the BASE chain, not the panel
         A = jnp.asarray(_pd(rng, N, w=100), dtype=jnp.float32)
 
         def op(A):
@@ -118,7 +91,6 @@ def main():
 
     elif variant in ("b1-pallas", "b1-xla"):
         fc.PALLAS_BASE = "on" if variant == "b1-pallas" else "off"
-        fc.PALLAS_PANEL = "off"
         A = jnp.asarray(_pd(rng, N, w=1), dtype=jnp.float32)
 
         def op(A):
@@ -127,7 +99,6 @@ def main():
 
     elif variant == "fullp64":
         fc.PALLAS_BASE = "on"
-        fc.PALLAS_PANEL = "off"
         fc._BASE = 64
         A = jnp.asarray(_pd(rng, N), dtype=jnp.float32)
 
@@ -137,7 +108,6 @@ def main():
 
     elif variant == "fullp":
         fc.PALLAS_BASE = "on"
-        fc.PALLAS_PANEL = "off"
         A = jnp.asarray(_pd(rng, N), dtype=jnp.float32)
 
         def op(A):

@@ -22,6 +22,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# XLA_FLAGS must be set BEFORE jax import — backend init is lazy today,
+# but any import that touches devices would otherwise silently yield a
+# 1-device mesh and a misleading benchmark
+if os.environ.get("BENCH_CPU"):
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
 import numpy as np
 
 D = 15  # input dim; theta has D+3 entries (const + D ls + white)
@@ -36,9 +42,6 @@ def main():
     import jax
 
     if os.environ.get("BENCH_CPU"):
-        os.environ["XLA_FLAGS"] = (
-            "--xla_force_host_platform_device_count=8"
-        )
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp

@@ -1,0 +1,163 @@
+"""Ensemble move mixtures: DE and snooker moves (ter Braak 2006;
+ter Braak & Vrugt 2008 — the move families emcee offers behind the
+reference's sampler, ``/root/reference/bask/bayesgpr.py:510-524``),
+their distributional correctness, the mixture dispatcher, and the
+bit-stability contract of the default pure-stretch path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bask_tpu.parallel import mcmc
+
+
+def _corr_gauss_lp():
+    cov = jnp.asarray([[2.0, 1.8], [1.8, 2.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def lp(x):
+        return -0.5 * jnp.einsum("wi,ij,wj->w", x, prec, x)
+
+    return lp, np.asarray(cov)
+
+
+@pytest.mark.parametrize(
+    "moves",
+    [
+        (("de", 1.0),),
+        (("snooker", 1.0),),
+        (("de", 0.8), ("snooker", 0.2)),
+        (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
+    ],
+)
+def test_moves_recover_correlated_gaussian(moves):
+    lp, cov = _corr_gauss_lp()
+    pos0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    chain, final = mcmc.run_ensemble(
+        lp, pos0, jax.random.PRNGKey(0), 4000, moves=moves
+    )
+    flat = np.asarray(mcmc.flatten_chain(chain, discard=1500))
+    np.testing.assert_allclose(flat.mean(axis=0), np.zeros(2), atol=0.2)
+    np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.35)
+    rate = float(final.accepted) / (4000 * 64)
+    assert 0.05 < rate < 0.95
+
+
+def test_default_path_bit_stable_against_explicit_none():
+    """moves=None must produce the EXACT historical stretch chain."""
+    lp, _ = _corr_gauss_lp()
+    pos0 = jax.random.normal(jax.random.PRNGKey(2), (32, 2))
+    c_default, _ = mcmc.run_ensemble(lp, pos0, jax.random.PRNGKey(3), 100)
+    c_none, _ = mcmc.run_ensemble(
+        lp, pos0, jax.random.PRNGKey(3), 100, moves=None
+    )
+    np.testing.assert_array_equal(np.asarray(c_default), np.asarray(c_none))
+
+
+def test_single_move_mixture_differs_from_stretch():
+    lp, _ = _corr_gauss_lp()
+    pos0 = jax.random.normal(jax.random.PRNGKey(2), (32, 2))
+    c_stretch, _ = mcmc.run_ensemble(lp, pos0, jax.random.PRNGKey(3), 50)
+    c_de, _ = mcmc.run_ensemble(
+        lp, pos0, jax.random.PRNGKey(3), 50, moves=(("de", 1.0),)
+    )
+    assert not np.array_equal(np.asarray(c_stretch), np.asarray(c_de))
+
+
+def test_moves_validation():
+    lp, _ = _corr_gauss_lp()
+    with pytest.raises(ValueError, match="unknown move"):
+        mcmc._normalize_moves((("walk", 1.0),), 2.0)
+    with pytest.raises(ValueError, match="weight"):
+        mcmc._normalize_moves((("de", -1.0),), 2.0)
+    with pytest.raises(ValueError, match="positive"):
+        mcmc._normalize_moves((("de", 0.0),), 2.0)
+    names, weights = mcmc._normalize_moves(
+        (("stretch", 1.0), ("de", 3.0)), 2.0
+    )
+    assert names == ("stretch", "de")
+    np.testing.assert_allclose(weights, (0.25, 0.75))
+
+
+def test_de_neg_inf_proposals_rejected():
+    def lp_one(x):
+        base = -0.5 * jnp.sum(x * x)
+        return jnp.where(x[0] > 0, base, -jnp.inf)
+
+    lp = jax.vmap(lp_one)
+    pos0 = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (32, 2))) + 0.1
+    chain, final = mcmc.run_ensemble(
+        lp, pos0, jax.random.PRNGKey(3), 300,
+        moves=(("de", 0.8), ("snooker", 0.2)),
+    )
+    flat = np.asarray(mcmc.flatten_chain(chain, discard=100))
+    assert np.all(flat[:, 0] > 0)
+    assert np.all(np.isfinite(np.asarray(final.log_prob)))
+
+
+def test_bayesgpr_moves_plumbing():
+    """moves= through the estimator: constructor default, per-sample
+    override, fused == legacy parity under a mixture."""
+    from bask_tpu.models import bayesgpr as bgm
+    from bask_tpu.models.bayesgpr import BayesGPR
+    from bask_tpu.ops import kernels as bk
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(16, 2))
+    y = np.sum((X - 0.5) ** 2, axis=1)
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
+        (0.3, 0.3), (0.05, 2.0)
+    )
+    demix = [("de", 0.8), ("snooker", 0.2)]
+
+    gp = BayesGPR(kernel=kernel, random_state=0, moves=demix)
+    assert gp.moves == (("de", 0.8), ("snooker", 0.2))  # canonicalized
+    gp.fit(X, y, n_burnin=2, n_desired_samples=20,
+           n_walkers_per_thread=10, progress=False)
+    assert np.isfinite(gp.theta).all()
+
+    # identical seeds: mixture chain != stretch chain
+    gp2 = BayesGPR(kernel=kernel, random_state=0)
+    gp2.fit(X, y, n_burnin=2, n_desired_samples=20,
+            n_walkers_per_thread=10, progress=False)
+    assert not np.array_equal(gp.chain_, gp2.chain_)
+
+    # per-call override beats the constructor default
+    gp3 = BayesGPR(kernel=kernel, random_state=0)
+    gp3.fit(X, y, n_burnin=2, n_desired_samples=20,
+            n_walkers_per_thread=10, progress=False, moves=demix)
+    np.testing.assert_array_equal(gp.chain_, gp3.chain_)
+
+    # fused == legacy bit parity holds under a move mixture too
+    prev = bgm.FUSED_SAMPLE
+    try:
+        bgm.FUSED_SAMPLE = "off"
+        gp4 = BayesGPR(kernel=kernel, random_state=0, moves=demix)
+        gp4.fit(X, y, n_burnin=2, n_desired_samples=20,
+                n_walkers_per_thread=10, progress=False)
+    finally:
+        bgm.FUSED_SAMPLE = prev
+    np.testing.assert_array_equal(gp.chain_, gp4.chain_)
+
+    with pytest.raises(ValueError, match="unknown move"):
+        BayesGPR(kernel=kernel, moves=[("bogus", 1.0)])
+
+
+def test_mes_bare_call_uses_fresh_keys():
+    """Two bare MaxValueSearch calls must differ (VERDICT r3 weak #6):
+    the reference draws fresh Gumbel samples from the global NumPy RNG
+    per call (bask/acquisition.py:254)."""
+    from bask_tpu.acquisition import MaxValueSearch
+
+    acq = MaxValueSearch()
+    mu = jnp.asarray(np.linspace(-1.0, 1.0, 8))
+    std = jnp.full(8, 0.5)
+    a = np.asarray(acq(mu, std, n_min_samples=64))
+    b = np.asarray(acq(mu, std, n_min_samples=64))
+    assert not np.array_equal(a, b)
+    # explicit key stays deterministic
+    k = jax.random.PRNGKey(5)
+    c = np.asarray(acq(mu, std, n_min_samples=64, key=k))
+    d = np.asarray(acq(mu, std, n_min_samples=64, key=k))
+    np.testing.assert_array_equal(c, d)

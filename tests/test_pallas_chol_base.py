@@ -91,8 +91,6 @@ def test_block_cholesky_pallas_base_parity(monkeypatch):
     Lx, ldx, qx = fc.fast_lml_terms(A, y)
 
     monkeypatch.setattr(fc, "PALLAS_BASE", "on")
-    # pin the BASE path: the panel kernel has its own parity tests
-    monkeypatch.setattr(fc, "PALLAS_PANEL", "off")
     monkeypatch.setattr(
         pcb, "chol_inv_base", partial(pcb.chol_inv_base, interpret=True)
     )

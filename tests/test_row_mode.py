@@ -329,6 +329,41 @@ def test_row_mode_lbfgs_device_matches_host_driver():
     assert (theta_dev <= b[:, 1] + 1e-12).all()
 
 
+def test_row_grad_method_knob():
+    """ADVICE r3 #1: the huge-n memory/speed trade is a constructor
+    knob — row_grad_method='jvp' routes the host ML-II gradients through
+    the lean forward-mode sweeps and matches the adjoint default."""
+    from bask_tpu.models.bayesgpr import _row_lml_value_grad
+
+    X, y = _problem()
+    gp = BayesGPR(
+        kernel=_kernel(), random_state=7, row_mesh=_row_mesh(),
+        row_grad_method="jvp",
+    )
+    gp._spec = gp._user_kernel + WhiteKernel(1.0, (1e-5, 1e5))
+    gp._set_data(X, y, None)
+    theta = jnp.asarray(gp._spec.theta0, dtype=gp._dtype())
+    vg_jvp = np.asarray(
+        _row_lml_value_grad(
+            theta, gp._data, kernel=gp._spec, row_cfg=gp._row_cfg(),
+            grad_method="jvp",
+        )
+    )
+    vg_adj = np.asarray(
+        _row_lml_value_grad(
+            theta, gp._data, kernel=gp._spec, row_cfg=gp._row_cfg(),
+            grad_method="adjoint",
+        )
+    )
+    np.testing.assert_allclose(vg_jvp, vg_adj, rtol=1e-6, atol=1e-8)
+    # end-to-end: a jvp-gradient fit produces a usable model
+    theta_ml = gp._ml2_optimize()
+    assert np.isfinite(theta_ml).all()
+
+    with pytest.raises(ValueError, match="row_grad_method"):
+        BayesGPR(kernel=_kernel(), row_grad_method="bogus")
+
+
 def test_row_mode_progress_and_add():
     """The chunked (progress) and add-chains legacy paths run row-sharded."""
     X, y = _problem()
