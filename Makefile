@@ -1,7 +1,11 @@
-.PHONY: test test-fast bench lint clean
+.PHONY: test test-fast bench lint clean docs
 
 test:
 	python -m pytest tests/ -x -q
+
+docs:
+	python docs/gen_api.py
+	@echo "API pages in docs/api/ (sphinx users: sphinx-build -b html docs docs/_build)"
 
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow"

@@ -197,8 +197,9 @@ def _make_log_prob_batch(
     row-sharded distributed factorization sweep (no (n, n) gram ever
     materializes on one device; :mod:`bask_tpu.ops.dist_chol`). A
     two-axis row mesh additionally data-parallelizes the walker batch
-    over its first axis. Mutually exclusive with ``mesh`` and with
-    input warping (guarded in ``BayesGPR``).
+    over its first axis. Mutually exclusive with ``mesh``. With input
+    warping, the per-walker Beta-CDF warp folds INTO each walker's
+    sweep (no (W, n, d) warped-X batch ever materializes).
     """
     from ..ops.linalg import batched_lml
 
@@ -212,14 +213,8 @@ def _make_log_prob_batch(
                 return warp_prior(la, lb)
 
             lp = jax.vmap(prior_one)(xs)
-            Xb = jax.vmap(
-                lambda x: wp.warp(
-                    data.X, *wp.split_warp_params(x, n_warp)[1:]
-                )
-            )(xs)
         else:
             lp = jnp.zeros(xs.shape[0], dtype=xs.dtype)
-            Xb = data.X
         lp = lp + jax.vmap(lambda t: _eval_priors(priors, t))(theta_gp)
         if row_cfg is not None:
             from ..ops.dist_chol import (
@@ -233,11 +228,23 @@ def _make_log_prob_batch(
                 if len(row_mesh.axis_names) == 2
                 else row_sharded_lml_batch
             )
+            # full rows when warping: the warp is applied per walker
+            # inside the sweep body against the replicated data.X
             lml = lml_fn(
-                kernel, theta_gp, Xb, data.y, data.alpha_diag, data.mask,
+                kernel, xs if n_warp else theta_gp, data.X, data.y,
+                data.alpha_diag, data.mask,
                 mesh=row_mesh, nb=row_nb, unroll=row_unroll,
+                n_warp=n_warp,
             )
         else:
+            if n_warp:
+                Xb = jax.vmap(
+                    lambda x: wp.warp(
+                        data.X, *wp.split_warp_params(x, n_warp)[1:]
+                    )
+                )(xs)
+            else:
+                Xb = data.X
             lml = batched_lml(
                 kernel, theta_gp, Xb, data.y, data.alpha_diag, data.mask,
                 mesh=mesh,
@@ -553,13 +560,15 @@ def _lml_value(theta, data, *, kernel):
 # row_cfg = (mesh, nb, unroll) is one hashable static tuple.
 
 
-@partial(jax.jit, static_argnames=("kernel", "row_cfg"))
-def _row_lml_value(theta, data, *, kernel, row_cfg):
+@partial(jax.jit, static_argnames=("kernel", "row_cfg", "n_warp"))
+def _row_lml_value(theta, data, la=None, lb=None, *, kernel, row_cfg,
+                   n_warp=0):
     from ..ops.dist_chol import row_sharded_lml
 
     mesh, nb, unroll = row_cfg
+    X = wp.warp(data.X, la, lb) if n_warp else data.X
     return row_sharded_lml(
-        kernel, theta, data.X, data.y, data.alpha_diag, data.mask,
+        kernel, theta, X, data.y, data.alpha_diag, data.mask,
         mesh, nb=nb, unroll=unroll,
     )
 
@@ -588,32 +597,55 @@ def _row_lml_value_grad(theta, data, *, kernel, row_cfg,
     jax.jit,
     static_argnames=(
         "kernel", "row_cfg", "return_cov", "with_lml", "with_grad",
+        "n_warp",
     ),
 )
 def _row_predict(
-    theta, theta_diag, data, Xq, *, kernel, row_cfg, return_cov=False,
-    with_lml=False, with_grad=False,
+    theta, theta_diag, data, Xq, la=None, lb=None, *, kernel, row_cfg,
+    return_cov=False, with_lml=False, with_grad=False, n_warp=0,
 ):
     from ..ops.dist_chol import row_sharded_predict
 
     mesh, nb, unroll = row_cfg
-    return row_sharded_predict(
-        kernel, theta, data.X, data.y, data.alpha_diag, data.mask, Xq,
+    X = data.X
+    if n_warp:
+        X = wp.warp(X, la, lb)
+        Xq_w = wp.warp(Xq, la, lb)
+    else:
+        Xq_w = Xq
+    out = row_sharded_predict(
+        kernel, theta, X, data.y, data.alpha_diag, data.mask, Xq_w,
         mesh=mesh, nb=nb, y_mean=data.y_mean, y_std=data.y_std,
         theta_diag=theta_diag, return_lml=with_lml,
         return_cov=return_cov, return_grad=with_grad, unroll=unroll,
     )
+    if n_warp and with_grad:
+        # the sweep's gradients are wrt the WARPED query; chain-rule
+        # back through the columnwise Beta CDF (diagonal Jacobian)
+        jac = wp.warp_grad(Xq, la, lb)
+        out = list(out)
+        out[2] = out[2] * jac  # mean grad
+        out[3] = out[3] * jac  # std grad
+        out = tuple(out)
+    return out
 
 
-@partial(jax.jit, static_argnames=("kernel", "row_cfg", "n_samples"))
+@partial(
+    jax.jit, static_argnames=("kernel", "row_cfg", "n_samples", "n_warp")
+)
 def _row_sample_y(
-    theta, theta_diag, data, Xq, key, *, kernel, row_cfg, n_samples
+    theta, theta_diag, data, Xq, key, la=None, lb=None, *, kernel,
+    row_cfg, n_samples, n_warp=0,
 ):
     from ..ops.dist_chol import row_sharded_sample_y
 
     mesh, nb, _ = row_cfg
+    X = data.X
+    if n_warp:
+        X = wp.warp(X, la, lb)
+        Xq = wp.warp(Xq, la, lb)
     return row_sharded_sample_y(
-        kernel, theta, data.X, data.y, data.alpha_diag, data.mask, Xq,
+        kernel, theta, X, data.y, data.alpha_diag, data.mask, Xq,
         key, mesh=mesh, n_samples=n_samples, nb=nb, y_mean=data.y_mean,
         y_std=data.y_std, theta_diag=theta_diag,
     )
@@ -938,13 +970,6 @@ class BayesGPR:
                     "row_mesh must have one (rows) or two (walkers, rows) "
                     f"axes, got {row_mesh.axis_names}"
                 )
-            if warp_inputs:
-                raise ValueError(
-                    "row_mesh is incompatible with warp_inputs: the "
-                    "distributed sweep builds gram strips from one "
-                    "replicated X, but warping makes X per-walker. "
-                    "Use mesh= walker sharding for warped models."
-                )
         if row_grad_method not in ("adjoint", "jvp"):
             raise ValueError(
                 "row_grad_method must be 'adjoint' (D-independent cost, "
@@ -1181,12 +1206,16 @@ class BayesGPR:
             # per call; the consensus LML comes from one sweep here.
             self._post = None
             self._post_data = data
+            wa, wb, n_warp = self._warp_params()
             self._consensus_lml_ = (
                 _row_lml_value(
                     jnp.asarray(self._theta, dtype=dt),
                     data,
+                    wa,
+                    wb,
                     kernel=self._spec,
                     row_cfg=self._row_cfg(),
+                    n_warp=n_warp,
                 )
                 if with_lml
                 else None
@@ -2086,15 +2115,19 @@ class BayesGPR:
                     "return_cov cannot be combined with prediction "
                     "gradients in row-sharded mode"
                 )
+            wa, wb, n_warp = self._warp_params()
             out = _row_predict(
                 jnp.asarray(self._theta, dtype=self._dtype()),
                 self._theta_diag(),
                 self._data,
                 X,
+                wa,
+                wb,
                 kernel=self._spec,
                 row_cfg=self._row_cfg(),
                 return_cov=return_cov,
                 with_grad=with_grad,
+                n_warp=n_warp,
             )
             if not with_grad:
                 mean, unc = out
@@ -2207,14 +2240,15 @@ class BayesGPR:
             cfg = self._row_cfg()
             theta = jnp.asarray(self._theta, dtype=dt)
             if sample_mean:
+                wa, wb, n_warp = self._warp_params()
                 td = theta if noise else gpc.noise_free_theta(
                     self._spec, theta, widx
                 )
                 return np.asarray(
                     _row_sample_y(
-                        theta, td, self._data, X, key,
+                        theta, td, self._data, X, key, wa, wb,
                         kernel=self._spec, row_cfg=cfg,
-                        n_samples=n_samples,
+                        n_samples=n_samples, n_warp=n_warp,
                     )
                 )
             # marginalized draws: each sample's theta is a chain row, so
@@ -2222,18 +2256,26 @@ class BayesGPR:
             # n_samples device programs. Honest cost of marginalization
             # at n beyond one chip; prefer sample_mean=True or small
             # n_samples here.
+            n_warp = self._X_orig.shape[1] if self.warp_inputs else 0
             rs = np.random.RandomState(seed)
             idx = rs.choice(len(self.chain_), size=n_samples, replace=True)
             keys = jax.random.split(key, n_samples)
             cols = []
             for i, ki in zip(idx, keys):
                 row = jnp.asarray(self.chain_[i], dtype=dt)
-                td = row if noise else gpc.noise_free_theta(
-                    self._spec, row, widx
+                if n_warp:
+                    # each draw warps with ITS row's warp parameters,
+                    # matching the dense marginal path's semantics
+                    th, wa_i, wb_i = wp.split_warp_params(row, n_warp)
+                else:
+                    th, wa_i, wb_i = row, None, None
+                td = th if noise else gpc.noise_free_theta(
+                    self._spec, th, widx
                 )
                 draw = _row_sample_y(
-                    row, td, self._data, X, ki,
+                    th, td, self._data, X, ki, wa_i, wb_i,
                     kernel=self._spec, row_cfg=cfg, n_samples=1,
+                    n_warp=n_warp,
                 )
                 cols.append(np.asarray(draw)[:, 0])
             return np.stack(cols, axis=1)
@@ -2401,12 +2443,16 @@ class BayesGPR:
         if data is None:
             data = self._data
         if self.row_mesh is not None:
+            wa, wb, n_warp = self._warp_params()
             return float(
                 _row_lml_value(
                     jnp.asarray(theta, dtype=self._dtype()),
                     data,
+                    wa,
+                    wb,
                     kernel=self._spec,
                     row_cfg=self._row_cfg(),
+                    n_warp=n_warp,
                 )
             )
         return float(

@@ -108,6 +108,93 @@ def test_log_prob_batch_2d_mesh_matches_plain():
     )
 
 
+def test_log_prob_batch_row_matches_plain_warped():
+    """Warped chains in row mode (VERDICT r3 #4): the per-walker
+    Beta-CDF warp folds into each walker's distributed sweep and must
+    match the dense warped log-prob to f64 precision."""
+    from bask_tpu.models import warping as wpm
+
+    X, y = _problem(n=48)
+    gp = BayesGPR(kernel=_kernel(), random_state=1, warp_inputs=True)
+    gp._spec = gp._user_kernel + WhiteKernel(1.0, (1e-5, 1e5))
+    gp._set_data(X, y, None)
+    priors = gp._resolve_priors(None)
+    data = gp._data
+    n_warp = X.shape[1]
+
+    plain = _make_log_prob_batch(
+        gp._spec, priors, wpm.default_warp_log_prior, n_warp, data
+    )
+    row = _make_log_prob_batch(
+        gp._spec, priors, wpm.default_warp_log_prior, n_warp, data,
+        row_cfg=(_row_mesh(), 16, False),
+    )
+    rng = np.random.RandomState(0)
+    D = gp._spec.n_theta + 2 * n_warp
+    base = np.concatenate([gp._spec.theta0, np.zeros(2 * n_warp)])
+    rows = jnp.asarray(base[None, :] + 0.15 * rng.randn(8, D))
+    np.testing.assert_allclose(
+        np.asarray(row(rows)), np.asarray(plain(rows)),
+        rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_warped_row_fit_predict_matches_dense():
+    """End-to-end warped fit in row mode: identical chain + consensus
+    state as the dense warped model (same seeds), predict/sample_y
+    parity at 1e-8, prediction gradients chain-ruled through the warp
+    Jacobian parity vs the dense autodiff grads."""
+    X, y = _problem(n=48)
+    kw = dict(n_desired_samples=24, n_burnin=2, n_walkers_per_thread=8,
+              progress=False)
+
+    gp_row = BayesGPR(
+        kernel=_kernel(), random_state=7, warp_inputs=True,
+        row_mesh=_row_mesh(), row_nb=16,
+    )
+    gp_row.fit(X, y, **kw)
+    gp_dense = BayesGPR(
+        kernel=_kernel(), random_state=7, warp_inputs=True,
+    )
+    gp_dense.fit(X, y, **kw)
+
+    # same seeds + bit-parity contract: identical chains & warp params
+    np.testing.assert_allclose(
+        gp_row.chain_, gp_dense.chain_, rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        gp_row.warp_alphas_, gp_dense.warp_alphas_, rtol=1e-12
+    )
+    assert np.isfinite(gp_row.log_marginal_likelihood_value_)
+    np.testing.assert_allclose(
+        gp_row.log_marginal_likelihood_value_,
+        gp_dense.log_marginal_likelihood_value_,
+        rtol=1e-8,
+    )
+
+    Xq = X[:6]
+    m_r, s_r, mg_r, sg_r = gp_row.predict(
+        Xq, return_std=True, return_mean_grad=True, return_std_grad=True
+    )
+    m_d, s_d, mg_d, sg_d = gp_dense.predict(
+        Xq, return_std=True, return_mean_grad=True, return_std_grad=True
+    )
+    np.testing.assert_allclose(m_r, m_d, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(s_r, s_d, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(mg_r, mg_d, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(sg_r, sg_d, rtol=1e-5, atol=1e-7)
+
+    # consensus joint draws: same key -> same draws as the dense path
+    d_r = gp_row.sample_y(Xq, sample_mean=True, n_samples=3,
+                          random_state=5)
+    d_d = gp_dense.sample_y(Xq, sample_mean=True, n_samples=3,
+                            random_state=5)
+    np.testing.assert_allclose(d_r, d_d, rtol=1e-7, atol=1e-9)
+    # marginalized draws run (per-row warp parameters inside the sweep)
+    d_m = gp_row.sample_y(Xq, n_samples=2, random_state=5)
+    assert d_m.shape == (6, 2) and np.isfinite(d_m).all()
+
+
 def test_ml2_value_grad_matches_plain():
     X, y = _problem()
     gp = BayesGPR(kernel=_kernel(), random_state=1, row_mesh=_row_mesh())
@@ -213,8 +300,6 @@ def test_row_mode_normalize_y():
 
 def test_row_mode_guards():
     mesh = _row_mesh()
-    with pytest.raises(ValueError, match="warp_inputs"):
-        BayesGPR(kernel=_kernel(), warp_inputs=True, row_mesh=mesh)
     devs = np.array(jax.devices("cpu")[:8]).reshape(2, 2, 2)
     with pytest.raises(ValueError, match="one .* or two"):
         BayesGPR(kernel=_kernel(), row_mesh=Mesh(devs, ("a", "b", "c")))
