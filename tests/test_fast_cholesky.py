@@ -122,17 +122,26 @@ def test_fast_lml_matches_slow_path():
     np.testing.assert_allclose(fast, slow, rtol=1e-8)
 
 
-def test_block_solves_with_cached_invs_match_xla():
+@pytest.mark.parametrize("sweep", ["left", "right"])
+def test_block_solves_with_cached_invs_match_xla(sweep, monkeypatch):
+    """Both solve sweeps (right-looking default, T big trailing
+    updates; legacy left-looking) match XLA's substitution. The
+    multi-panel shapes (n > nb=128/256) exercise the sweeps proper."""
     from jax.scipy.linalg import solve_triangular
 
+    from bask_tpu.ops import fast_cholesky as fc
     from bask_tpu.ops.fast_cholesky import (
         block_cholesky,
         block_solve_lower_mat,
         block_solve_upper_mat,
     )
 
+    monkeypatch.setattr(fc, "SOLVE_SWEEP", sweep)
     rng = np.random.RandomState(0)
-    for n, m, batch in ((128, 37, ()), (256, 200, (4,)), (64, 8, ())):
+    for n, m, batch in (
+        (128, 37, ()), (256, 200, (4,)), (64, 8, ()), (512, 16, ()),
+        (832, 9, ()),  # ragged last panel
+    ):
         B = rng.randn(*batch, n, n)
         A = jnp.asarray(B @ np.swapaxes(B, -1, -2) + n * np.eye(n))
         L, invs = block_cholesky(A)
