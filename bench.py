@@ -183,14 +183,27 @@ def bench_tpu():
 
     kernel, data, log_prob, pos0 = build_north_star(dtype)
 
+    # BENCH_MOVES selects the ensemble move mixture for the timed chain
+    # (default: the historical pure-stretch chain so the headline stays
+    # comparable across rounds; "demix" = DE 0.8 + snooker 0.2)
+    moves = {
+        "stretch": None,
+        "demix": (("de", 0.8), ("snooker", 0.2)),
+        "tri": (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
+    }[os.environ.get("BENCH_MOVES", "stretch")]
+
     # warmup/compile with the SAME static n_steps as the timed run.
     # NB: sync via a scalar host fetch — jax.block_until_ready does NOT
     # reliably wait on the axon remote backend.
-    chain, final = run_ensemble(log_prob, pos0, jax.random.PRNGKey(0), N_STEPS)
+    chain, final = run_ensemble(
+        log_prob, pos0, jax.random.PRNGKey(0), N_STEPS, moves=moves
+    )
     float(final.log_prob[0])
 
     t0 = time.perf_counter()
-    chain, final = run_ensemble(log_prob, pos0, jax.random.PRNGKey(1), N_STEPS)
+    chain, final = run_ensemble(
+        log_prob, pos0, jax.random.PRNGKey(1), N_STEPS, moves=moves
+    )
     float(final.log_prob[0])
     elapsed = time.perf_counter() - t0
 

@@ -96,6 +96,29 @@ def test_de_neg_inf_proposals_rejected():
     assert np.all(np.isfinite(np.asarray(final.log_prob)))
 
 
+def test_moves_under_walker_sharding():
+    """The mixture dispatch (random choice + lax.switch) and both new
+    moves' cross-half gathers run under a sharded walker axis, matching
+    the unsharded chain bit-for-bit."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    mesh = Mesh(np.array(devs[:8]), ("walkers",))
+    lp, _ = _corr_gauss_lp()
+    moves = (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1))
+    pos0 = jax.random.normal(jax.random.PRNGKey(4), (128, 2))
+    c_plain, f_plain = mcmc.run_ensemble(
+        lp, pos0, jax.random.PRNGKey(5), 50, moves=moves
+    )
+    pos_sh = jax.device_put(pos0, NamedSharding(mesh, P("walkers", None)))
+    c_sh, f_sh = mcmc.run_ensemble(
+        lp, pos_sh, jax.random.PRNGKey(5), 50, moves=moves
+    )
+    np.testing.assert_array_equal(np.asarray(c_plain), np.asarray(c_sh))
+    assert int(f_plain.accepted) == int(f_sh.accepted)
+
+
 def test_bayesgpr_moves_plumbing():
     """moves= through the estimator: constructor default, per-sample
     override, fused == legacy parity under a mixture."""
