@@ -281,25 +281,15 @@ def block_forward_solve(L, invs, y, nb: int | None = None):
     if len(invs) == 1 and invs[0].shape[-1] == n:
         return (_mm(invs[0], y[..., None]))[..., 0]
     spans = _layout_from_invs(invs)
-    if SOLVE_SWEEP == "right":
-        r = y
-        ws = []
-        for j, (lo, hi) in enumerate(spans):
-            wj = (_mm(invs[j], r[..., : hi - lo, None]))[..., 0]
-            ws.append(wj)
-            if hi < n:
-                r = r[..., hi - lo :] - (
-                    _mm(L[..., hi:, lo:hi], wj[..., None])
-                )[..., 0]
-        return jnp.concatenate(ws, axis=-1)
+    r = y
     ws = []
     for j, (lo, hi) in enumerate(spans):
-        rhs = y[..., lo:hi]
-        for k, wk in enumerate(ws):
-            klo, khi = spans[k]
-            Ljk = L[..., lo:hi, klo:khi]
-            rhs = rhs - (_mm(Ljk, wk[..., None]))[..., 0]
-        ws.append((_mm(invs[j], rhs[..., None]))[..., 0])
+        wj = (_mm(invs[j], r[..., : hi - lo, None]))[..., 0]
+        ws.append(wj)
+        if hi < n:
+            r = r[..., hi - lo :] - (
+                _mm(L[..., hi:, lo:hi], wj[..., None])
+            )[..., 0]
     return jnp.concatenate(ws, axis=-1)
 
 
@@ -309,15 +299,13 @@ def block_forward_solve(L, invs, y, nb: int | None = None):
 # against XLA's substitution. The *cached-inverse* variants below avoid
 # that trap: they only apply inverses block_cholesky already produced.
 
-# Solve sweep direction. The historical "left" form subtracts every
-# previous panel's contribution per step — T(T-1)/2 small (nb, nb)@(nb,
-# m) matmuls, latency-bound at large n (BASELINE.md std-solve
-# experiment: "bound by sequential panel structure"). "right" (default)
-# applies each panel's solution to the WHOLE remaining right-hand side
-# at once — T big ((n-hi), nb)@(nb, m) matmuls, identical flops in MXU-
-# friendly shapes. The "left" fallback rides only until the queued
-# hardware A/B (bench_solve_sweep.py) confirms, then gets cut.
-SOLVE_SWEEP = "right"
+# All solves sweep RIGHT-LOOKING: each panel's solution updates the
+# whole remaining right-hand side in one large trailing matmul (T big
+# MXU-friendly matmuls) instead of subtracting every previous panel's
+# contribution per step (T(T-1)/2 small latency-bound matmuls). The
+# historical left-looking form was CUT after the hardware A/B
+# (bench_solve_sweep.py, v5e-1: 65.4 vs 68.4 ms chol+solve+solveT at
+# n=8192, tie at n=4096 — BASELINE.md round-4 section).
 
 
 def block_solve_lower_mat(L, invs, Y, nb: int | None = None, precision=None):
@@ -334,24 +322,15 @@ def block_solve_lower_mat(L, invs, Y, nb: int | None = None, precision=None):
     if len(invs) == 1 and invs[0].shape[-1] == n:
         return mm(invs[0], Y)
     spans = _layout_from_invs(invs)
-    if SOLVE_SWEEP == "right":
-        # right-looking: one trailing update per panel on a shrinking
-        # tail — the trapezoid's flops in T large matmuls
-        R = Y
-        ws = []
-        for j, (lo, hi) in enumerate(spans):
-            wj = mm(invs[j], R[..., : hi - lo, :])
-            ws.append(wj)
-            if hi < n:
-                R = R[..., hi - lo :, :] - mm(L[..., hi:, lo:hi], wj)
-        return jnp.concatenate(ws, axis=-2)
+    # right-looking: one trailing update per panel on a shrinking
+    # tail — the trapezoid's flops in T large matmuls
+    R = Y
     ws = []
     for j, (lo, hi) in enumerate(spans):
-        rhs = Y[..., lo:hi, :]
-        for k in range(j):
-            klo, khi = spans[k]
-            rhs = rhs - mm(L[..., lo:hi, klo:khi], ws[k])
-        ws.append(mm(invs[j], rhs))
+        wj = mm(invs[j], R[..., : hi - lo, :])
+        ws.append(wj)
+        if hi < n:
+            R = R[..., hi - lo :, :] - mm(L[..., hi:, lo:hi], wj)
     return jnp.concatenate(ws, axis=-2)
 
 
@@ -362,29 +341,18 @@ def block_solve_upper_mat(L, invs, Y, nb: int | None = None):
         return _mm(jnp.swapaxes(invs[0], -1, -2), Y)
     spans = _layout_from_invs(invs)
     T = len(spans)
-    if SOLVE_SWEEP == "right":
-        # bottom-up right-looking: each solved panel updates the whole
-        # remaining head in one (lo, nb)@(nb, m) matmul
-        R = Y
-        xs = [None] * T
-        for j in range(T - 1, -1, -1):
-            lo, hi = spans[j]
-            xj = _mm(jnp.swapaxes(invs[j], -1, -2), R[..., lo:hi, :])
-            xs[j] = xj
-            if lo > 0:
-                R = R[..., :lo, :] - _mm(
-                    jnp.swapaxes(L[..., lo:hi, :lo], -1, -2), xj
-                )
-        return jnp.concatenate(xs, axis=-2)
+    # bottom-up right-looking: each solved panel updates the whole
+    # remaining head in one (lo, nb)@(nb, m) matmul
+    R = Y
     xs = [None] * T
     for j in range(T - 1, -1, -1):
         lo, hi = spans[j]
-        rhs = Y[..., lo:hi, :]
-        for k in range(j + 1, T):
-            klo, khi = spans[k]
-            Lkj = L[..., klo:khi, lo:hi]
-            rhs = rhs - _mm(jnp.swapaxes(Lkj, -1, -2), xs[k])
-        xs[j] = _mm(jnp.swapaxes(invs[j], -1, -2), rhs)
+        xj = _mm(jnp.swapaxes(invs[j], -1, -2), R[..., lo:hi, :])
+        xs[j] = xj
+        if lo > 0:
+            R = R[..., :lo, :] - _mm(
+                jnp.swapaxes(L[..., lo:hi, :lo], -1, -2), xj
+            )
     return jnp.concatenate(xs, axis=-2)
 
 

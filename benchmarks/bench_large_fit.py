@@ -44,8 +44,13 @@ def main():
     import bask_tpu as bt
     from bask_tpu.ops import kernels as bk
 
-    W = 50 if mode == "dense" else 16
-    steps = 20
+    # keep the tunnel-worker load bounded at the top shapes: n=16384
+    # sweeps cost ~1 s each, and the worker dies under multi-hundred-
+    # second single programs (gotcha 9)
+    if N >= 16384:
+        W, steps = 8, 10
+    else:
+        W, steps = (50 if mode == "dense" else 16), 20
     kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
         tuple([0.3] * D), (0.05, 2.0), nu=2.5
     ) + bk.WhiteKernel(0.05, (1e-5, 1e5))
@@ -58,9 +63,15 @@ def main():
         n_dev = len(jax.devices())
         mesh = Mesh(np.array(jax.devices()[: max(1, n_dev)]), ("r",))
         kw = dict(row_mesh=mesh, row_nb=512, row_unroll=N <= 8192)
+    # n>=16384: the one-program device L-BFGS (60 iters x sweep+adjoint
+    # in a single scan) crashed the tunnel worker (2026-08-19, r4b run;
+    # the long-program class of CLAUDE.md gotcha 9). The host driver
+    # dispatches one small sweep+adjoint program per L-BFGS step
+    # instead — many round trips, but each program is tunnel-sized.
+    ml2 = "lbfgs-device" if (mode == "row" and N < 16384) else "lbfgs"
     gp = bt.BayesGPR(
         kernel=kernel, normalize_y=True, random_state=0,
-        optimizer="lbfgs-device" if mode == "row" else "lbfgs", **kw,
+        optimizer=ml2, **kw,
     )
 
     t0 = time.perf_counter()
@@ -88,12 +99,20 @@ def main():
     )
     t_fit_warm = time.perf_counter() - t0
 
+    # warm predict: same shapes as gp.predict above, so every program
+    # is already compiled (the first predict's number is compile-bound)
+    t0 = time.perf_counter()
+    mu2, std = gp2.predict(Xq, return_std=True)
+    float(np.sum(mu2))
+    t_pred_warm = time.perf_counter() - t0
+
     acc = gp2.n_accepted_ / max(1, gp2.n_proposals_)
     print(
         f"{mode} N={N} D={D} W={W} steps={steps}: "
         f"fit cold {t_fit:.1f} s / warm {t_fit_warm:.1f} s "
         f"({t_fit_warm/steps*1e3:.0f} ms/chain-step-equivalent), "
-        f"predict(64) {t_pred*1e3:.0f} ms, acc {acc:.3f}, "
+        f"predict(64) cold {t_pred*1e3:.0f} / warm {t_pred_warm*1e3:.0f} ms, "
+        f"acc {acc:.3f}, "
         f"lml {gp2.log_marginal_likelihood_value_:.1f}, "
         f"max_std {float(np.max(std)):.4f}"
     )

@@ -1,14 +1,15 @@
-"""Right- vs left-looking blocked triangular solves at large n.
+"""Blocked factorization+solve composite at large n.
 
-VERDICT r4 #5: the left-looking solves do T(T-1)/2 small latency-bound
-matmuls; the right-looking form does T large trailing updates (same
-flops). Times the factorization+solve composite at the large-n shapes:
+Originally the right- vs left-looking solve A/B (VERDICT r4 #5). The
+A/B ran on v5e-1 (2026-08-19): right 65.4 ms (13.31 TFLOP/s) vs left
+68.4 ms at n=8192, tie at n=4096 — the left-looking form was CUT from
+``ops/fast_cholesky.py`` (BASELINE.md round-4 section). This bench now
+times the surviving right-looking composite:
 
-    python benchmarks/bench_solve_sweep.py 8192 right
-    python benchmarks/bench_solve_sweep.py 8192 left
+    python benchmarks/bench_solve_sweep.py 8192
 
-One variant per process (axon timing rule); in-scan, scalar-fetch
-synced; parity asserted at a small shape before timing.
+In-scan, scalar-fetch synced; parity vs XLA substitution asserted at a
+small shape before timing.
 """
 
 import os
@@ -24,7 +25,6 @@ W, M = 4, 128  # walker batch, RHS count (acquisition-like)
 
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    sweep = sys.argv[2] if len(sys.argv) > 2 else "right"
     K = max(2, 8192 // N)
 
     import jax
@@ -34,6 +34,7 @@ def main():
 
     import jax.numpy as jnp
     from jax import lax
+    from jax.scipy.linalg import solve_triangular
 
     from bask_tpu.ops import fast_cholesky as fc
 
@@ -45,23 +46,14 @@ def main():
         K0 = np.exp(-0.5 * d2 / 0.3**2) + 1e-2 * np.eye(n)
         return np.broadcast_to(K0, (w, n, n)).astype(np.float32).copy()
 
-    # parity: right == left at a small shape
+    # parity vs XLA substitution at a small shape
     A_s = jnp.asarray(spd(512, 2))
     Y_s = jnp.asarray(rng.standard_normal((2, 512, 8)), jnp.float32)
-    outs = {}
-    for mode in ("left", "right"):
-        fc.SOLVE_SWEEP = mode
-        L, invs = jax.jit(fc.block_cholesky)(A_s)
-        outs[mode] = (
-            np.asarray(jax.jit(fc.block_solve_lower_mat)(L, invs, Y_s)),
-            np.asarray(jax.jit(fc.block_solve_upper_mat)(L, invs, Y_s)),
-        )
-    for a, b in zip(outs["left"], outs["right"]):
-        assert np.allclose(a, b, rtol=1e-4, atol=1e-5), (
-            np.abs(a - b).max()
-        )
+    L_s, invs_s = jax.jit(fc.block_cholesky)(A_s)
+    got = np.asarray(jax.jit(fc.block_solve_lower_mat)(L_s, invs_s, Y_s))
+    ref = np.asarray(solve_triangular(L_s, Y_s, lower=True))
+    assert np.allclose(got, ref, rtol=1e-3, atol=1e-4), np.abs(got - ref).max()
 
-    fc.SOLVE_SWEEP = sweep
     A = jnp.asarray(spd(N, W))
     Y = jnp.asarray(rng.standard_normal((W, N, M)), jnp.float32)
 
@@ -86,7 +78,7 @@ def main():
     dt = (time.perf_counter() - t0) / K
     flops = W * (N**3 / 3 + 2 * N * N * M * 2)
     print(
-        f"{sweep} N={N} W={W} M={M}: {dt*1e3:.1f} ms per "
+        f"right N={N} W={W} M={M}: {dt*1e3:.1f} ms per "
         f"chol+solve+solveT ({flops/dt/1e12:.2f} TFLOP/s)"
     )
 

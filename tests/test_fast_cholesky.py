@@ -122,21 +122,18 @@ def test_fast_lml_matches_slow_path():
     np.testing.assert_allclose(fast, slow, rtol=1e-8)
 
 
-@pytest.mark.parametrize("sweep", ["left", "right"])
-def test_block_solves_with_cached_invs_match_xla(sweep, monkeypatch):
-    """Both solve sweeps (right-looking default, T big trailing
-    updates; legacy left-looking) match XLA's substitution. The
-    multi-panel shapes (n > nb=128/256) exercise the sweeps proper."""
+def test_block_solves_with_cached_invs_match_xla():
+    """The right-looking solve sweeps (T big trailing updates; the
+    left-looking form was cut after the round-4 hardware A/B) match
+    XLA's substitution. The multi-panel shapes (n > nb=128/256)
+    exercise the sweeps proper."""
     from jax.scipy.linalg import solve_triangular
 
-    from bask_tpu.ops import fast_cholesky as fc
     from bask_tpu.ops.fast_cholesky import (
         block_cholesky,
         block_solve_lower_mat,
         block_solve_upper_mat,
     )
-
-    monkeypatch.setattr(fc, "SOLVE_SWEEP", sweep)
     rng = np.random.RandomState(0)
     for n, m, batch in (
         (128, 37, ()), (256, 200, (4,)), (64, 8, ()), (512, 16, ()),
