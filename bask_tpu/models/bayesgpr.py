@@ -1494,6 +1494,8 @@ class BayesGPR:
         mesh=None,
         warn_rhat: Optional[float] = None,
         moves=None,
+        until_rhat: Optional[float] = None,
+        max_extensions: int = 10,
         _defer_fetch: bool = False,
         **kwargs,
     ):
@@ -1533,7 +1535,88 @@ class BayesGPR:
         versions. The reference's emcee sampler exposes the same choice
         via ``moves=`` (emcee ≥3; ``bask/bayesgpr.py:510-524`` uses the
         default stretch move).
+
+        ``until_rhat``: sample-to-convergence — after the base run, the
+        chain is warm-extended in equal chunks (each re-dispatching the
+        same compiled program; ``add=True`` continuation semantics)
+        until the maximum split R-hat over the accumulated chain's
+        second half drops to this threshold, or ``max_extensions``
+        chunks have been added (then a ``UserWarning``). A typical
+        threshold is 1.1. Pair it with a DE+snooker move mixture: on
+        the 15-D benchmark posterior the default stretch move needs
+        ≥7200 steps to converge where ``moves=(("de", 0.8),
+        ("snooker", 0.2))`` passes at 4800 (BASELINE.md round-4
+        ladder). The reference offers no convergence control at all.
+        The final consensus (theta/posterior/LML) is recomputed over
+        the full accumulated chain after each extension.
         """
+        if until_rhat is not None:
+            # base run first (fused fast path allowed), then warm
+            # chunk-extensions — the same pattern bench.py and
+            # benchmarks/bench_convergence.py measure, as a library
+            # capability. _defer_fetch is ignored here: the extension
+            # loop needs host-side chain state after every leg.
+            self.sample(
+                X, y, noise_vector,
+                n_threads=n_threads,
+                n_desired_samples=n_desired_samples,
+                n_burnin=n_burnin,
+                n_thin=n_thin,
+                n_walkers_per_thread=n_walkers_per_thread,
+                progress=progress,
+                priors=priors,
+                warp_priors=warp_priors,
+                position=position,
+                add=add,
+                mesh=mesh,
+                moves=moves,
+                **kwargs,
+            )
+
+            def _second_half_rhat():
+                steps = self.chain_steps_
+                if steps is None or steps.shape[0] < 4:
+                    return float("inf")
+                from ..utils.diagnostics import split_rhat
+
+                # diagnose the accumulated chain's second half (the
+                # bench_convergence rule) once it is long enough for
+                # the split estimator; the full chain before that
+                half = steps[steps.shape[0] // 2:]
+                if half.shape[0] < 4:
+                    half = steps
+                return float(np.max(split_rhat(half)))
+
+            for _ in range(max_extensions):
+                if _second_half_rhat() <= until_rhat:
+                    break
+                self.sample(
+                    n_threads=n_threads,
+                    n_desired_samples=n_desired_samples,
+                    n_burnin=0,
+                    n_thin=n_thin,
+                    n_walkers_per_thread=n_walkers_per_thread,
+                    progress=progress,
+                    priors=priors,
+                    warp_priors=warp_priors,
+                    add=True,
+                    mesh=mesh,
+                    moves=moves,
+                    **kwargs,
+                )
+            final_rhat = _second_half_rhat()
+            if final_rhat > until_rhat:
+                warnings.warn(
+                    f"sample(until_rhat={until_rhat}) did not converge "
+                    f"within max_extensions={max_extensions} chunks: max "
+                    f"split R-hat {final_rhat:.3f}. Raise max_extensions "
+                    "or use a DE+snooker move mixture (moves=((\"de\", "
+                    "0.8), (\"snooker\", 0.2))) — see mcmc_diagnostics().",
+                    UserWarning,
+                    stacklevel=2,
+                )
+            _maybe_warn_rhat(self.chain_steps_, warn_rhat)
+            return self
         if self._pending is not None:
             # a previous deferred sample was never finalized (misuse or
             # an aborted tell) — materialize it before starting a new one

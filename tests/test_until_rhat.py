@@ -1,0 +1,98 @@
+"""sample(until_rhat=...): sample-to-convergence by warm chunk
+extension. The library-level form of the measured convergence pattern
+(bench.py / benchmarks/bench_convergence.py; BASELINE.md round-4 moves
+ladder). The reference exposes no convergence control at all
+(``/root/reference/bask/bayesgpr.py:381-548``)."""
+
+import numpy as np
+import pytest
+
+from bask_tpu.models.bayesgpr import BayesGPR
+from bask_tpu.ops import kernels as bk
+
+
+def _fitted_gp(**kw):
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(16, 2))
+    y = np.sum((X - 0.5) ** 2, axis=1)
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
+        (0.3, 0.3), (0.05, 2.0)
+    )
+    gp = BayesGPR(kernel=kernel, random_state=0, **kw)
+    return gp, X, y
+
+
+def test_loose_threshold_adds_no_extension():
+    gp, X, y = _fitted_gp()
+    gp.fit(X, y, n_burnin=2, n_desired_samples=40,
+           n_walkers_per_thread=10, progress=False, until_rhat=1e6)
+    # base run only: kept steps = ceil(40/10) = 4
+    assert gp.chain_steps_.shape[0] == 4
+    assert np.isfinite(gp.theta).all()
+
+
+def test_impossible_threshold_extends_and_warns():
+    gp, X, y = _fitted_gp()
+    with pytest.warns(UserWarning, match="did not converge"):
+        gp.fit(X, y, n_burnin=2, n_desired_samples=40,
+               n_walkers_per_thread=10, progress=False,
+               until_rhat=0.5, max_extensions=2)
+    # base 4 kept steps + 2 extensions x 4 steps each
+    assert gp.chain_steps_.shape[0] == 12
+    # consensus state recomputed over the accumulated chain
+    assert np.isfinite(gp.theta).all()
+    assert np.isfinite(gp.log_marginal_likelihood_value_)
+    # acceptance counters describe the combined chain
+    assert gp.n_proposals_ > 0
+    # flat chain is the accumulated one
+    assert gp.chain_.shape[0] == 12 * gp.chain_steps_.shape[1]
+
+
+def test_until_rhat_converges_on_easy_posterior():
+    """A reachable threshold on a well-identified posterior (noisy
+    target, bounded white kernel) converges before max_extensions —
+    no warning, and the loop stops early. Threshold calibrated from a
+    measured trajectory on this exact problem (1.606 at 60 steps,
+    monotone decline after)."""
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(24, 2))
+    y = np.sum((X - 0.5) ** 2, axis=1) + 0.1 * rng.randn(24)
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
+        (0.3, 0.3), (0.05, 2.0)
+    ) + bk.WhiteKernel(0.05, (1e-3, 1e2))
+    gp = BayesGPR(kernel=kernel, random_state=0,
+                  moves=[("de", 0.8), ("snooker", 0.2)])
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        gp.fit(X, y, n_burnin=8, n_desired_samples=320,
+               n_walkers_per_thread=32, progress=False,
+               until_rhat=1.7, max_extensions=12)
+    steps = gp.chain_steps_
+    # stopped EARLY (not by exhausting the budget)
+    assert steps.shape[0] < 10 * 13
+    from bask_tpu.utils.diagnostics import split_rhat
+
+    r = float(np.max(split_rhat(steps[steps.shape[0] // 2:])))
+    assert r <= 1.7, r
+
+
+def test_until_rhat_with_moves_and_warm_continuation():
+    """Extensions warm-continue (pos_ reused) and respect the moves
+    mixture: the extended chain must differ from a pure-stretch one of
+    the same total length, and every leg shares walker count."""
+    gp, X, y = _fitted_gp()
+    with pytest.warns(UserWarning, match="did not converge"):
+        gp.fit(X, y, n_burnin=2, n_desired_samples=40,
+               n_walkers_per_thread=10, progress=False,
+               until_rhat=0.5, max_extensions=1,
+               moves=[("de", 0.8), ("snooker", 0.2)])
+    assert gp.chain_steps_.shape == (8, 10, gp.chain_steps_.shape[-1])
+
+    gp2, _, _ = _fitted_gp()
+    with pytest.warns(UserWarning, match="did not converge"):
+        gp2.fit(X, y, n_burnin=2, n_desired_samples=40,
+                n_walkers_per_thread=10, progress=False,
+                until_rhat=0.5, max_extensions=1)
+    assert not np.array_equal(gp.chain_steps_, gp2.chain_steps_)
