@@ -445,14 +445,27 @@ def _canonical_moves(moves):
     """Normalize a user ``moves`` spec to the hashable tuple-of-tuples
     the jitted chain programs take as a static argument (``None`` stays
     ``None`` — the bit-stable pure-stretch path). Validates eagerly so a
-    typo fails at construction, not at the first jit trace."""
+    typo fails at construction, not at the first jit trace.
+
+    String shorthands: a single move name ("stretch"/"de"/"snooker")
+    means that move at weight 1, and "demix" is the measured
+    DE 0.8 + snooker 0.2 mixture (BASELINE.md round-4 convergence
+    ladder: R-hat<1.1 at 4800 steps vs stretch >7200)."""
     if moves is None:
         return None
+    if isinstance(moves, str):
+        moves = _MOVE_ALIASES.get(moves, ((moves, 1.0),))
     from ..parallel.mcmc import _normalize_moves
 
     canon = tuple((str(n), float(w)) for n, w in moves)
     _normalize_moves(canon, 2.0)
     return canon
+
+
+_MOVE_ALIASES = {
+    "demix": (("de", 0.8), ("snooker", 0.2)),
+    "tri": (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
+}
 
 
 def _row_lml_rev(kernel, row_cfg, grad_method="adjoint"):

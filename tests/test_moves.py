@@ -167,6 +167,29 @@ def test_bayesgpr_moves_plumbing():
         BayesGPR(kernel=kernel, moves=[("bogus", 1.0)])
 
 
+def test_moves_string_aliases():
+    """String shorthands: a bare move name and the measured "demix"/
+    "tri" mixtures canonicalize to the same static tuples as the
+    explicit specs (identical jit keys — no extra compiles)."""
+    from bask_tpu.models.bayesgpr import BayesGPR, _canonical_moves
+    from bask_tpu.ops import kernels as bk
+
+    assert _canonical_moves("demix") == (("de", 0.8), ("snooker", 0.2))
+    assert _canonical_moves("tri") == (
+        ("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)
+    )
+    assert _canonical_moves("de") == (("de", 1.0),)
+    assert _canonical_moves("stretch") == (("stretch", 1.0),)
+
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
+        (0.3,), (0.05, 2.0)
+    )
+    gp = BayesGPR(kernel=kernel, moves="demix")
+    assert gp.moves == (("de", 0.8), ("snooker", 0.2))
+    with pytest.raises(ValueError, match="unknown move"):
+        BayesGPR(kernel=kernel, moves="bogus")
+
+
 def test_mes_bare_call_uses_fresh_keys():
     """Two bare MaxValueSearch calls must differ (VERDICT r3 weak #6):
     the reference draws fresh Gumbel samples from the global NumPy RNG
