@@ -57,6 +57,16 @@ _BASE = 32
 # Module-level so benchmarks can switch variants per process.
 BASE_IMPL = "xla"
 
+# Trailing-update matmul precision override (None = HIGHEST, full f32).
+# At n>=4096 the factorization is dominated by the trailing Schur
+# products P @ P^T (~2(n-hi)^2 nb flops/panel vs the panel work's
+# O(n nb^2)); lax.Precision.HIGH (bf16_3x) halves their MXU passes.
+# OPT-IN ONLY, pending the accuracy/speed A/B at n=8192 — the round-2
+# full-HIGH variant was rejected (5x worse reconstruction at n=512 for
+# 7%), but this knob keeps the panels and solves at HIGHEST and only
+# relaxes the Schur product, where the matmul-bound regime actually is.
+TRAILING_PRECISION = None
+
 # Pallas fused base (chol + inverse in ONE program, pallas_chol_base.py):
 # "auto" = on for f32 on a TPU-like backend (measured 3.35 -> 0.89 ms
 # for the (50,512,512) factorization on v5e-1 — the XLA base cholesky's
@@ -259,7 +269,10 @@ def block_cholesky(A, nb: int | None = None):
         )
         cols.append(col)
         if hi < n:
-            tail = M[..., hi:, hi:] - _mm(P, jnp.swapaxes(P, -1, -2))
+            mm_t = _mm if TRAILING_PRECISION is None else (
+                lambda a, b: jnp.matmul(a, b, precision=TRAILING_PRECISION)
+            )
+            tail = M[..., hi:, hi:] - mm_t(P, jnp.swapaxes(P, -1, -2))
             # rebuild M with the updated trailing block only (slices of
             # the old M elsewhere are never read again)
             M = M.at[..., hi:, hi:].set(tail)

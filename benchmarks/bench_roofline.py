@@ -90,7 +90,9 @@ def main():
     nb = fc.pick_nb(N)
     spans = fc._offsets([nb] * (N // nb))
 
-    if variant == "chol":
+    if variant in ("chol", "chol-trailhigh"):
+        if variant == "chol-trailhigh":
+            fc.TRAILING_PRECISION = jax.lax.Precision.HIGH
 
         @jax.jit
         def bench(A):
@@ -102,6 +104,19 @@ def main():
                 body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.float32)
             )
             return out
+
+        # accuracy alongside speed: worst-element reconstruction error
+        @jax.jit
+        def recon_err(A):
+            L, _ = fc.block_cholesky(A)
+            R = jnp.matmul(
+                L, jnp.swapaxes(L, -1, -2),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.max(jnp.abs(R - A))
+
+        err = float(recon_err(A[:1]))
+        print(f"{variant} recon_err {err:.2e}")
 
         flops = W * N**3 / 3.0
     elif variant == "trailing":

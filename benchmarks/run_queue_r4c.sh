@@ -40,3 +40,8 @@ run python benchmarks/bench_large_fit.py dense 8192
 run python benchmarks/bench_large_fit.py dense 16384
 run python benchmarks/bench_large_fit.py row 16384
 echo "QUEUE R4C DONE $(date)" >> $LOG
+# appended mid-run: trailing-precision A/B at the matmul-bound shape
+run python benchmarks/bench_roofline.py chol-trailhigh 8192
+run python benchmarks/bench_roofline.py chol 4096
+run python benchmarks/bench_roofline.py chol-trailhigh 4096
+echo "QUEUE R4C TAIL DONE $(date)" >> $LOG
