@@ -66,6 +66,13 @@ class Optimizer:
     LML; the stretch move's complementary-half gather is the only
     collective). Results are bit-identical to the unsharded run; the
     reference has no distributed execution at all (SURVEY.md §2).
+
+    ``gp_sample_kwargs``: extra keyword arguments forwarded to every GP
+    refit's ``BayesGPR.sample``/``fit`` call inside :meth:`tell` —
+    e.g. ``{"moves": "demix"}`` for the measured fast-convergence move
+    mixture, or ``{"until_rhat": 1.1}`` for converged refits (the
+    latter disables the single-fetch warm-tell overlap, since the
+    extension loop needs host-side chain state after every leg).
     """
 
     def __init__(
@@ -81,6 +88,7 @@ class Optimizer:
         acq_func_kwargs: Optional[dict] = None,
         random_state=None,
         mesh=None,
+        gp_sample_kwargs: Optional[dict] = None,
         **kwargs,
     ):
         if isinstance(random_state, np.random.RandomState):
@@ -128,6 +136,7 @@ class Optimizer:
         )
         self.gp_priors = gp_priors
         self.mesh = mesh
+        self.gp_sample_kwargs = dict(gp_sample_kwargs or {})
 
         self.Xi = []
         self.yi = []
@@ -358,6 +367,7 @@ class Optimizer:
                     n_burnin=gp_burnin,
                     progress=progress,
                     mesh=self.mesh,
+                    **self.gp_sample_kwargs,
                 )
                 if self.gp.pos_ is None or replace:
                     self.gp.fit(

@@ -346,6 +346,7 @@ def save_optimizer(opt, path: str, pickle_unsupported: bool = False) -> None:
         "init_strategy": opt.init_strategy,
         "acq_func": acq_name or "pvrs",
         "acq_func_kwargs": opt.acq_func_kwargs,
+        "gp_sample_kwargs": getattr(opt, "gp_sample_kwargs", {}),
         "Xi": opt.Xi,
         "yi": opt.yi,
         "noisei": opt.noisei,
@@ -423,6 +424,7 @@ def load_optimizer(path: str, allow_pickle: bool = False):
         gp_kernel=kernel_from_dict(meta["gpr"]["kernel_user"]),
         acq_func=acq_func,
         acq_func_kwargs=meta["acq_func_kwargs"],
+        gp_sample_kwargs=meta.get("gp_sample_kwargs") or {},
         gp_kwargs=dict(
             alpha=meta["gpr"]["alpha"],
             normalize_y=meta["gpr"]["normalize_y"],

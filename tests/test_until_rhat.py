@@ -78,6 +78,35 @@ def test_until_rhat_converges_on_easy_posterior():
     assert r <= 1.7, r
 
 
+def test_optimizer_gp_sample_kwargs_passthrough(tmp_path):
+    """Optimizer(gp_sample_kwargs=...) reaches every refit: a demix BO
+    loop's chain differs from the default loop at identical seeds, and
+    the kwargs round-trip through save/load."""
+    import bask_tpu as bt
+
+    def f(x):
+        return float((x[0] - 0.3) ** 2)
+
+    def run(**kw):
+        opt = bt.Optimizer(
+            dimensions=[(-1.0, 1.0)], n_initial_points=3, random_state=7,
+            n_points=32, **kw,
+        )
+        for _ in range(5):
+            x = opt.ask()
+            opt.tell(x, f(x), gp_samples=20, gp_burnin=2)
+        return opt
+
+    opt_demix = run(gp_sample_kwargs={"moves": "demix"})
+    opt_plain = run()
+    assert not np.array_equal(opt_demix.gp.chain_, opt_plain.gp.chain_)
+
+    p = str(tmp_path / "opt.npz")
+    bt.save_optimizer(opt_demix, p)
+    opt2 = bt.load_optimizer(p)
+    assert opt2.gp_sample_kwargs == {"moves": "demix"}
+
+
 def test_until_rhat_with_moves_and_warm_continuation():
     """Extensions warm-continue (pos_ reused) and respect the moves
     mixture: the extended chain must differ from a pure-stretch one of
