@@ -78,6 +78,35 @@ def test_until_rhat_converges_on_easy_posterior():
     assert r <= 1.7, r
 
 
+def test_until_rhat_in_row_sharded_mode():
+    """The extension loop composes with row-sharded mode (legacy chain
+    path + add=True continuation over the distributed sweep)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices("cpu")[:8])
+    if devs.size < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = Mesh(devs, ("r",))
+
+    rng = np.random.RandomState(3)
+    X = rng.uniform(size=(40, 2))
+    y = np.sin(3.0 * X[:, 0]) + 0.5 * X[:, 1] + 0.05 * rng.randn(40)
+    kernel = bk.ConstantKernel(1.0, (0.1, 10.0)) * bk.Matern(
+        (0.5, 0.5), (0.05, 5.0), nu=2.5
+    )
+    gp = BayesGPR(kernel=kernel, random_state=0, row_mesh=mesh,
+                  moves="demix")
+    with pytest.warns(UserWarning, match="did not converge"):
+        gp.fit(X, y, n_burnin=2, n_desired_samples=32,
+               n_walkers_per_thread=8, progress=False,
+               until_rhat=0.5, max_extensions=1)
+    # base 4 kept steps + 1 extension x 4
+    assert gp.chain_steps_.shape[0] == 8
+    mu = gp.predict(X[:4])
+    assert np.all(np.isfinite(mu))
+
+
 def test_optimizer_gp_sample_kwargs_passthrough(tmp_path):
     """Optimizer(gp_sample_kwargs=...) reaches every refit: a demix BO
     loop's chain differs from the default loop at identical seeds, and
