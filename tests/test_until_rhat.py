@@ -107,6 +107,28 @@ def test_until_rhat_in_row_sharded_mode():
     assert np.all(np.isfinite(mu))
 
 
+def test_until_rhat_under_walker_mesh():
+    """The extension loop composes with mesh-sharded ensembles (the
+    add=True legs inherit the walker sharding)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices("cpu")[:8])
+    if devs.size < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = Mesh(devs, ("w",))
+
+    gp, X, y = _fitted_gp()
+    with pytest.warns(UserWarning, match="did not converge"):
+        gp.fit(X, y, n_burnin=2, n_desired_samples=64,
+               n_walkers_per_thread=16, progress=False, mesh=mesh,
+               until_rhat=0.5, max_extensions=1)
+    # walkers round to 2 x n_devices multiples (16 stays 16);
+    # base 4 kept steps + 1 extension x 4
+    assert gp.chain_steps_.shape[0] == 8
+    assert np.isfinite(gp.theta).all()
+
+
 def test_optimizer_gp_sample_kwargs_passthrough(tmp_path):
     """Optimizer(gp_sample_kwargs=...) reaches every refit: a demix BO
     loop's chain differs from the default loop at identical seeds, and
