@@ -157,6 +157,13 @@ def test_optimizer_gp_sample_kwargs_passthrough(tmp_path):
     opt2 = bt.load_optimizer(p)
     assert opt2.gp_sample_kwargs == {"moves": "demix"}
 
+    # until_rhat inside warm tells: the wrapper ignores the deferred-
+    # fetch fast path (host chain state needed per leg) and extends —
+    # 1 base kept step (20 samples / 100 walkers) + 1 extension
+    opt3 = run(gp_sample_kwargs={"until_rhat": 0.5, "max_extensions": 1})
+    assert opt3.gp.chain_steps_.shape[0] == 2
+    assert opt3.gp._pending is None
+
 
 def test_until_rhat_with_moves_and_warm_continuation():
     """Extensions warm-continue (pos_ reused) and respect the moves
