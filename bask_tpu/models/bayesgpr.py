@@ -1618,17 +1618,34 @@ class BayesGPR:
                     **kwargs,
                 )
             final_rhat = _second_half_rhat()
+            # machine-readable result (Optimizer.tell suppresses GP
+            # warnings during refits and re-surfaces this instead)
+            self.until_rhat_result_ = {
+                "rhat": final_rhat,
+                "threshold": until_rhat,
+                "converged": bool(final_rhat <= until_rhat),
+                "steps": int(self.chain_steps_.shape[0]),
+            }
             if final_rhat > until_rhat:
                 warnings.warn(
                     f"sample(until_rhat={until_rhat}) did not converge "
                     f"within max_extensions={max_extensions} chunks: max "
                     f"split R-hat {final_rhat:.3f}. Raise max_extensions "
-                    "or use a DE+snooker move mixture (moves=((\"de\", "
-                    "0.8), (\"snooker\", 0.2))) — see mcmc_diagnostics().",
+                    "or use a DE+snooker move mixture (moves=\"demix\") "
+                    "— see mcmc_diagnostics().",
                     UserWarning,
                     stacklevel=2,
                 )
-            _maybe_warn_rhat(self.chain_steps_, warn_rhat)
+            elif warn_rhat is not None and final_rhat > warn_rhat:
+                # warn on the SAME second-half criterion the stopping
+                # rule used — the full accumulated chain includes the
+                # pre-converged transient and would spuriously warn
+                warnings.warn(
+                    f"MCMC chain may not be converged: max split R-hat "
+                    f"{final_rhat:.3f} exceeds the threshold {warn_rhat}.",
+                    UserWarning,
+                    stacklevel=2,
+                )
             return self
         if self._pending is not None:
             # a previous deferred sample was never finalized (misuse or

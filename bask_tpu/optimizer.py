@@ -367,8 +367,10 @@ class Optimizer:
                     n_burnin=gp_burnin,
                     progress=progress,
                     mesh=self.mesh,
-                    **self.gp_sample_kwargs,
                 )
+                # user keys OVERRIDE the defaults (a dict-literal **
+                # merge would raise on overlap instead)
+                common.update(self.gp_sample_kwargs)
                 if self.gp.pos_ is None or replace:
                     self.gp.fit(
                         self.space.transform(self.Xi), self.yi, **common
@@ -385,6 +387,22 @@ class Optimizer:
                         _defer_fetch=True,
                         **common,
                     )
+            # the catch_warnings block above suppresses GP warnings;
+            # a failed until_rhat refit must still be visible
+            ur = getattr(self.gp, "until_rhat_result_", None)
+            if (
+                "until_rhat" in self.gp_sample_kwargs
+                and ur is not None
+                and not ur["converged"]
+            ):
+                warnings.warn(
+                    f"GP refit did not reach R-hat <= {ur['threshold']} "
+                    f"within the extension budget (max split R-hat "
+                    f"{ur['rhat']:.3f} after {ur['steps']} kept steps); "
+                    "proceeding with the consensus estimate.",
+                    UserWarning,
+                    stacklevel=2,
+                )
 
             t_acq = _time.perf_counter()
             try:

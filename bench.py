@@ -185,12 +185,15 @@ def bench_tpu():
 
     # BENCH_MOVES selects the ensemble move mixture for the timed chain
     # (default: the historical pure-stretch chain so the headline stays
-    # comparable across rounds; "demix" = DE 0.8 + snooker 0.2)
-    moves = {
-        "stretch": None,
-        "demix": (("de", 0.8), ("snooker", 0.2)),
-        "tri": (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
-    }[os.environ.get("BENCH_MOVES", "stretch")]
+    # comparable across rounds; "demix" = DE 0.8 + snooker 0.2). Names
+    # resolve through the library's single alias table so a retuned
+    # mixture never drifts from what the bench measures.
+    def _resolve_moves(name):
+        from bask_tpu.models.bayesgpr import _canonical_moves
+
+        return None if name == "stretch" else _canonical_moves(name)
+
+    moves = _resolve_moves(os.environ.get("BENCH_MOVES", "stretch"))
 
     # warmup/compile with the SAME static n_steps as the timed run.
     # NB: sync via a scalar host fetch — jax.block_until_ready does NOT
@@ -221,15 +224,11 @@ def bench_tpu():
     # stays pure-stretch for cross-round comparability.
     from bask_tpu.utils.diagnostics import split_rhat as _split_rhat
 
-    conv_moves_name = os.environ.get("BENCH_CONV_MOVES", "demix")
-    conv_moves = {
-        "stretch": None,
-        "demix": (("de", 0.8), ("snooker", 0.2)),
-        "tri": (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
-    }[conv_moves_name]
-
     conv_steps, conv_time, conv_rhat = None, None, None
     if os.environ.get("BENCH_CONVERGENCE", "1") != "0" and N_STEPS >= 100:
+        # resolved lazily INSIDE the gate: a bad name must not throw
+        # away the already-measured headline when convergence is off
+        conv_moves = _resolve_moves(os.environ.get("BENCH_CONV_MOVES", "demix"))
         max_chunks = int(os.environ.get("BENCH_CONV_MAX_CHUNKS", "24"))
         if conv_moves != moves:
             # one-off compile of the mixture program OUTSIDE the timed

@@ -53,6 +53,13 @@ def main():
     got = np.asarray(jax.jit(fc.block_solve_lower_mat)(L_s, invs_s, Y_s))
     ref = np.asarray(solve_triangular(L_s, Y_s, lower=True))
     assert np.allclose(got, ref, rtol=1e-3, atol=1e-4), np.abs(got - ref).max()
+    got_u = np.asarray(jax.jit(fc.block_solve_upper_mat)(L_s, invs_s, Y_s))
+    ref_u = np.asarray(
+        solve_triangular(jnp.swapaxes(L_s, -1, -2), Y_s, lower=False)
+    )
+    assert np.allclose(got_u, ref_u, rtol=1e-3, atol=1e-4), (
+        np.abs(got_u - ref_u).max()
+    )
 
     A = jnp.asarray(spd(N, W))
     Y = jnp.asarray(rng.standard_normal((W, N, M)), jnp.float32)

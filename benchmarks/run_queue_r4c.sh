@@ -39,7 +39,7 @@ run python benchmarks/bench_large_fit.py dense 8192
 # 5) Riskiest last: n=16384 end-to-end (host-driver ML-II config).
 run python benchmarks/bench_large_fit.py dense 16384
 run python benchmarks/bench_large_fit.py row 16384
-echo "QUEUE R4C DONE $(date)" >> $LOG
+echo "QUEUE R4C MAIN $(date)" >> $LOG
 # appended mid-run: trailing-precision A/B at the matmul-bound shape
 run python benchmarks/bench_roofline.py chol-trailhigh 8192
 run python benchmarks/bench_roofline.py chol 4096
