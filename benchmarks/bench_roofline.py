@@ -90,9 +90,13 @@ def main():
     nb = fc.pick_nb(N)
     spans = fc._offsets([nb] * (N // nb))
 
-    if variant in ("chol", "chol-trailhigh"):
-        if variant == "chol-trailhigh":
+    if variant.startswith("chol"):
+        if "trailhigh" in variant:
             fc.TRAILING_PRECISION = jax.lax.Precision.HIGH
+        if "split1" in variant:
+            fc.TRAILING_SPLIT = 1
+        elif "split2" in variant:
+            fc.TRAILING_SPLIT = 2
 
         @jax.jit
         def bench(A):
