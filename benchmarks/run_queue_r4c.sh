@@ -45,3 +45,8 @@ run python benchmarks/bench_roofline.py chol-trailhigh 8192
 run python benchmarks/bench_roofline.py chol 4096
 run python benchmarks/bench_roofline.py chol-trailhigh 4096
 echo "QUEUE R4C TAIL DONE $(date)" >> $LOG
+# appended: triangle-split trailing-update A/B (roofline follow-up)
+run python benchmarks/bench_roofline.py chol-split1 8192
+run python benchmarks/bench_roofline.py chol-split2 8192
+run env  BENCH_DUMMY=1 python benchmarks/bench_roofline.py chol 8192
+echo "QUEUE R4C SPLIT DONE $(date)" >> $LOG
