@@ -39,6 +39,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
 
+    from _probe import probe_or_exit
+
+    probe_or_exit()
+
     from jax.sharding import Mesh
 
     import bask_tpu as bt

@@ -41,6 +41,10 @@ def main():
     if os.environ.get("BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
+    from _probe import probe_or_exit
+
+    probe_or_exit()
+
     import jax.numpy as jnp
     from jax import lax
 
