@@ -171,11 +171,12 @@ def bench_tpu():
                     "complete within BENCH_DEVICE_TIMEOUT (TPU tunnel hung?)",
                     # context only, NOT a fresh measurement: the last
                     # completed hardware run of this same bench
-                    # (v5e-1, 2026-08-17, BASELINE.md north-star row —
-                    # the Pallas fused-base run)
-                    "last_measured_value": 0.803,
-                    "last_measured_vs_baseline": 270.0,
-                    "last_measured_date": "2026-08-17",
+                    # (v5e-1, 2026-08-19, BASELINE.md round-4 headline;
+                    # that run also measured time_to_rhat_1.1 = 9.54 s
+                    # at 3000 steps with the demix extension leg)
+                    "last_measured_value": 0.846,
+                    "last_measured_vs_baseline": 256.3,
+                    "last_measured_date": "2026-08-19",
                 }
             )
         )
