@@ -1561,7 +1561,10 @@ class BayesGPR:
         ("snooker", 0.2))`` passes at 4800 (BASELINE.md round-4
         ladder). The reference offers no convergence control at all.
         The final consensus (theta/posterior/LML) is recomputed over
-        the full accumulated chain after each extension.
+        the full accumulated chain after each extension; the geometric
+        median is robust to the pre-converged transient, but pass a
+        real ``n_burnin`` if the early steps should be excluded from
+        ``chain_`` outright.
         """
         if until_rhat is not None:
             # base run first (fused fast path allowed), then warm
