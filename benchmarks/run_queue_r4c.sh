@@ -50,3 +50,6 @@ run python benchmarks/bench_roofline.py chol-split1 8192
 run python benchmarks/bench_roofline.py chol-split2 8192
 run env  BENCH_DUMMY=1 python benchmarks/bench_roofline.py chol 8192
 echo "QUEUE R4C SPLIT DONE $(date)" >> $LOG
+# retry: dense 16384 was probe-aborted by a tunnel drop at 12:31
+run python benchmarks/bench_large_fit.py dense 16384
+echo "QUEUE R4C RETRY DONE $(date)" >> $LOG
