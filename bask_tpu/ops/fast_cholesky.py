@@ -57,56 +57,28 @@ _BASE = 32
 # Module-level so benchmarks can switch variants per process.
 BASE_IMPL = "xla"
 
-# Triangle-split trailing updates: the Schur update tail -= P P^T is
-# symmetric but computed as a FULL rectangle. Splitting the update once
-# — T11, T21, T22 computed, the upper block MIRRORED from T21's
-# transpose (a copy, zero matmul flops; it must NOT be zero-filled:
-# XLA's cholesky symmetrizes its input, so garbage/zero upper entries
-# corrupt the factor) — cuts 25% of the matmul flops per level;
-# recursion on the diagonal halves approaches the 2x trapezoid bound.
-# Bit-identical to the full-rectangle form: element (i, j) of P1 P2^T
-# and of (P2 P1^T)^T accumulate the same products in the same k order.
-# Pays only where the update is matmul-bound (roofline measurement:
-# the 8192 trailing updates run at 97% of the f32 matmul ceiling, so
-# flop count IS wall-clock there). Applied when the tail is at least
-# TRAILING_SPLIT_MIN wide, with TRAILING_SPLIT recursion levels.
-# DEFAULT 0 (off) until the queued n=8192 hardware A/B
-# (bench_roofline.py chol-split1/chol-split2) decides it — measured
-# wins become defaults, unmeasured restructurings stay opt-in.
-TRAILING_SPLIT = 0
-TRAILING_SPLIT_MIN = 4096
-
-
-def _schur_update_lower(T, P, mm, levels):
-    """T - P P^T with the strictly-upper half mirrored instead of
-    computed (the result is symmetric). ``levels`` recursion depth;
-    0 = one full rectangle."""
-    m = T.shape[-1]
-    if levels <= 0 or m < TRAILING_SPLIT_MIN or m < 2:
-        return T - mm(P, jnp.swapaxes(P, -1, -2))
-    h = m // 2
-    P1 = P[..., :h, :]
-    P2 = P[..., h:, :]
-    T11 = _schur_update_lower(T[..., :h, :h], P1, mm, levels - 1)
-    T21 = T[..., h:, :h] - mm(P2, jnp.swapaxes(P1, -1, -2))
-    T22 = _schur_update_lower(T[..., h:, h:], P2, mm, levels - 1)
-    return jnp.concatenate(
-        [
-            jnp.concatenate([T11, jnp.swapaxes(T21, -1, -2)], axis=-1),
-            jnp.concatenate([T21, T22], axis=-1),
-        ],
-        axis=-2,
-    )
-
+# There is deliberately NO triangle-split trailing update: splitting
+# the symmetric Schur update tail -= P P^T into T11/T21/T22 with the
+# upper half mirrored (25% fewer matmul flops per level, bit-identical
+# result) was built and MEASURED AND REJECTED on v5e-1 (2026-08-19,
+# bench_roofline chol-split1/chol-split2 vs chol at n=8192, one per
+# process, in-scan): 126.9 / 128.5 ms vs **63.4 ms** for the plain
+# full-rectangle form — the explicit transpose-mirror and the
+# concatenate materialization cost ~2x more than the flop saving;
+# XLA executes the single fat GEMM at 97% of the f32 matmul ceiling
+# (roofline, BASELINE.md) and anything that breaks that fusion loses.
+# Together with the TRAILING_PRECISION measurement below, this CLOSES
+# the single-chip factorization question at f32: full-rectangle
+# HIGHEST-precision trailing updates are the optimum.
 
 # Trailing-update matmul precision override (None = HIGHEST, full f32).
 # At n>=4096 the factorization is dominated by the trailing Schur
-# products P @ P^T (~2(n-hi)^2 nb flops/panel vs the panel work's
-# O(n nb^2)); lax.Precision.HIGH (bf16_3x) halves their MXU passes.
-# OPT-IN ONLY, pending the accuracy/speed A/B at n=8192 — the round-2
-# full-HIGH variant was rejected (5x worse reconstruction at n=512 for
-# 7%), but this knob keeps the panels and solves at HIGHEST and only
-# relaxes the Schur product, where the matmul-bound regime actually is.
+# products P @ P^T; lax.Precision.HIGH (bf16_3x) halves their MXU
+# passes. MEASURED on v5e-1 (2026-08-19, bench_roofline chol-trailhigh)
+# and kept OFF: 63.4 -> 54.3 ms at n=8192 (1.17x — the bandwidth share
+# grows as compute shrinks) for a 16x worse reconstruction error
+# (1.79e-6 -> 2.91e-5), a bad trade next to the LML. The knob stays as
+# the measured escape hatch for workloads that can tolerate it.
 TRAILING_PRECISION = None
 
 # Pallas fused base (chol + inverse in ONE program, pallas_chol_base.py):
@@ -314,9 +286,7 @@ def block_cholesky(A, nb: int | None = None):
             mm_t = _mm if TRAILING_PRECISION is None else (
                 lambda a, b: jnp.matmul(a, b, precision=TRAILING_PRECISION)
             )
-            tail = _schur_update_lower(
-                M[..., hi:, hi:], P, mm_t, TRAILING_SPLIT
-            )
+            tail = M[..., hi:, hi:] - mm_t(P, jnp.swapaxes(P, -1, -2))
             # rebuild M with the updated trailing block only (slices of
             # the old M elsewhere are never read again)
             M = M.at[..., hi:, hi:].set(tail)

@@ -95,12 +95,11 @@ def main():
     spans = fc._offsets([nb] * (N // nb))
 
     if variant.startswith("chol"):
+        # (the triangle-split variants were measured 2x SLOWER here —
+        # 126.9/128.5 vs 63.4 ms at n=8192 — and the code was cut;
+        # BASELINE.md round-4 section)
         if "trailhigh" in variant:
             fc.TRAILING_PRECISION = jax.lax.Precision.HIGH
-        if "split1" in variant:
-            fc.TRAILING_SPLIT = 1
-        elif "split2" in variant:
-            fc.TRAILING_SPLIT = 2
 
         @jax.jit
         def bench(A):

@@ -122,35 +122,26 @@ def test_fast_lml_matches_slow_path():
     np.testing.assert_allclose(fast, slow, rtol=1e-8)
 
 
-@pytest.mark.parametrize("levels", [1, 2])
-def test_triangle_split_trailing_update_parity(levels, monkeypatch):
-    """Triangle-split trailing updates (upper blocks zero-filled, never
-    read) factor identically to the full-rectangle form: same L, same
-    diagonal-block inverses, NaN contract preserved. Threshold shrunk
-    so the split engages at test sizes."""
+def test_trailing_precision_knob_parity_and_nan():
+    """TRAILING_PRECISION (the measured-off escape hatch) changes only
+    matmul precision: on CPU (where HIGH == HIGHEST) the factor is
+    identical, and the non-PD NaN contract holds either way."""
+    import jax
+
     from bask_tpu.ops import fast_cholesky as fc
 
-    monkeypatch.setattr(fc, "TRAILING_SPLIT_MIN", 64)
     rng = np.random.RandomState(0)
-    for n, batch in ((512, ()), (384, (3,)), (832, ())):
-        B = rng.randn(*batch, n, n)
-        A = jnp.asarray(B @ np.swapaxes(B, -1, -2) + n * np.eye(n))
-        monkeypatch.setattr(fc, "TRAILING_SPLIT", 0)
-        L0, invs0 = fc.block_cholesky(A)
-        monkeypatch.setattr(fc, "TRAILING_SPLIT", levels)
-        L1, invs1 = fc.block_cholesky(A)
-        np.testing.assert_allclose(
-            np.asarray(L1), np.asarray(L0), rtol=1e-10, atol=1e-12
-        )
-        for a, b in zip(invs0, invs1):
-            np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), rtol=1e-10, atol=1e-12
-            )
-
-    # non-PD still propagates NaN through the split path
-    bad = jnp.asarray(-np.eye(512))
-    monkeypatch.setattr(fc, "TRAILING_SPLIT", levels)
-    Lb, _ = fc.block_cholesky(bad)
+    B = rng.randn(512, 512)
+    A = jnp.asarray(B @ B.T + 512 * np.eye(512))
+    L0, _ = fc.block_cholesky(A)
+    prev = fc.TRAILING_PRECISION
+    try:
+        fc.TRAILING_PRECISION = jax.lax.Precision.HIGH
+        L1, _ = fc.block_cholesky(A)
+        Lb, _ = fc.block_cholesky(jnp.asarray(-np.eye(512)))
+    finally:
+        fc.TRAILING_PRECISION = prev
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L0), rtol=1e-12)
     assert np.isnan(np.asarray(Lb)).any()
 
 
