@@ -53,6 +53,9 @@ def warmup_optimizer(
             normalize_y=opt.gp.normalize_y,
             warp_inputs=opt.gp.warp_inputs,
             noise=opt.gp.noise,
+            # the move mixture is a jit static: a demix loop warmed
+            # with the stretch program would stall on a mid-run compile
+            moves=opt.gp.moves,
         ),
         gp_priors=opt.gp_priors,
         acq_func=opt.acq_func,
@@ -62,6 +65,8 @@ def warmup_optimizer(
         # walker count rounds to 2*n_devices multiples) — the clone must
         # warm the SAME programs the real loop will run
         mesh=getattr(opt, "mesh", None),
+        # per-refit sampler overrides (moves=, a=) are jit statics too
+        gp_sample_kwargs=getattr(opt, "gp_sample_kwargs", {}),
     )
     rng = np.random.RandomState(rng_seed)
     d = opt.space.transformed_n_dims

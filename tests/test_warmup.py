@@ -54,3 +54,34 @@ def test_warmup_precompiles_tell_path():
     assert bg._fused_sample._cache_size() == sizes["fused_sample"]
     assert acq_mod._fused_marginal_vals._cache_size() == sizes["fused_acq"]
     assert bg._pack_fetch._cache_size() == sizes["pack"]
+
+
+def test_warmup_covers_move_mixture_programs():
+    """A demix loop (gp_sample_kwargs / BayesGPR(moves=)) must be
+    warmed with the MIXTURE chain program — the moves tuple is a jit
+    static, so a stretch-warmed cache would recompile mid-run."""
+    opt = Optimizer(
+        dimensions=[(0.0, 1.0)],
+        n_points=32,
+        n_initial_points=2,
+        init_strategy="random",
+        acq_func="ei",
+        random_state=1,
+        gp_sample_kwargs={"moves": "demix"},
+    )
+    warmup_optimizer(
+        opt, n_observations=(2, 3), gp_samples=20, gp_burnin=2, n_samples=3
+    )
+    n_fused = bg._fused_sample._cache_size()
+
+    rng = np.random.RandomState(0)
+    for _ in range(2):
+        x = opt.ask()
+        opt.tell(
+            x,
+            float(np.sin(3 * x[0]) + 0.05 * rng.randn()),
+            n_samples=3,
+            gp_samples=20,
+            gp_burnin=2,
+        )
+    assert bg._fused_sample._cache_size() == n_fused
