@@ -1021,6 +1021,9 @@ class BayesGPR:
         self._noise_zero = False
         self._priors_cache = None
         self._pending = None  # deferred fused-sample blob (device)
+        # machine-readable outcome of the last sample(until_rhat=) run
+        # (None until one happens; see docs/production.md section 8)
+        self.until_rhat_result_ = None
 
     # -- basic properties --------------------------------------------------
 
@@ -1510,6 +1513,7 @@ class BayesGPR:
         until_rhat: Optional[float] = None,
         max_extensions: int = 10,
         _defer_fetch: bool = False,
+        _consensus: bool = True,
         **kwargs,
     ):
         """Sample the kernel-hyperparameter posterior on device.
@@ -1603,9 +1607,11 @@ class BayesGPR:
                     half = steps
                 return float(np.max(split_rhat(half)))
 
+            extended = False
             for _ in range(max_extensions):
                 if _second_half_rhat() <= until_rhat:
                     break
+                extended = True
                 self.sample(
                     n_threads=n_threads,
                     n_desired_samples=n_desired_samples,
@@ -1615,10 +1621,26 @@ class BayesGPR:
                     progress=progress,
                     priors=priors,
                     warp_priors=warp_priors,
+                    # continue the ACTUAL ensemble: a position= base run
+                    # may carry a walker count different from the
+                    # configured one, and a mismatched extension would
+                    # silently re-initialize a fresh ball (losing the
+                    # chain the convergence criterion is judging)
+                    position=self.pos_,
                     add=True,
                     mesh=mesh,
                     moves=moves,
+                    # each leg's consensus would be discarded by the
+                    # next — compute it ONCE after the loop instead
+                    _consensus=False,
                     **kwargs,
+                )
+            if extended:
+                n_gp = self._spec.n_theta
+                n_wp = self._X_orig.shape[1] if self.warp_inputs else 0
+                self._set_consensus_from_flat(
+                    jnp.asarray(self.chain_, dtype=self._dtype()),
+                    n_gp, n_wp,
                 )
             final_rhat = _second_half_rhat()
             # machine-readable result (Optimizer.tell suppresses GP
@@ -1923,6 +1945,16 @@ class BayesGPR:
             self.n_accepted_ = int(final.accepted)
             self.n_proposals_ = n_steps * w_act
 
+        if _consensus:
+            self._set_consensus_from_flat(flat, n_gp_dim, n_warp)
+        return self
+
+    def _set_consensus_from_flat(self, flat, n_gp_dim, n_warp):
+        """Geometric-median consensus + posterior refresh + LML over a
+        flat chain. Tail of the legacy sample path; also called ONCE by
+        the ``until_rhat`` extension loop after it converges (the
+        intermediate legs skip it — each leg's consensus would be
+        discarded by the next)."""
         median = np.asarray(geometric_median(flat))
         if self.warp_inputs:
             self.warp_alphas_ = median[n_gp_dim : n_gp_dim + n_warp]

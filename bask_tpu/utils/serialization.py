@@ -40,6 +40,27 @@ def _json_default(obj):
     )
 
 
+def _jsonable_or_warn(d: dict, name: str) -> dict:
+    """Return ``d`` if it JSON-serializes, else warn and drop it —
+    checkpoint writing must degrade, not crash, on exotic values (same
+    contract custom acq_func / gp_priors get)."""
+    import json as _json
+    import warnings as _warnings
+
+    try:
+        _json.dumps(d, default=_json_default)
+        return d
+    except TypeError:
+        _warnings.warn(
+            f"save_optimizer: {name} contains values that cannot be "
+            "serialized and was dropped from the checkpoint — re-assign "
+            f"opt.{name} after load_optimizer.",
+            UserWarning,
+            stacklevel=3,
+        )
+        return {}
+
+
 # -- kernel spec <-> dict ----------------------------------------------------
 
 
@@ -189,6 +210,9 @@ def _gpr_state(gp) -> dict:
         "y_std": getattr(gp, "y_train_std_", 1.0),
         "n_accepted": getattr(gp, "n_accepted_", None),
         "n_proposals": getattr(gp, "n_proposals_", None),
+        # constructor-default move mixture (jit static; a resumed
+        # optimizer must keep sampling with the same moves)
+        "moves": getattr(gp, "moves", None),
     }
     for name in ("chain_", "chain_steps_", "pos_", "warp_alphas_", "warp_betas_", "_theta"):
         v = getattr(gp, name)
@@ -211,6 +235,12 @@ def _gpr_state(gp) -> dict:
 
 
 def _restore_gpr(gp, meta, arrays):
+    if meta.get("moves") is not None:
+        from ..models.bayesgpr import _canonical_moves
+
+        # json round-trips the tuples as lists; re-canonicalize so the
+        # restored value stays a hashable jit static
+        gp.moves = _canonical_moves(meta["moves"])
     gp.noise_ = meta["noise_"]
     gp.log_marginal_likelihood_value_ = meta["lml_value"]
     if meta["kernel_fitted"] is not None:
@@ -346,7 +376,9 @@ def save_optimizer(opt, path: str, pickle_unsupported: bool = False) -> None:
         "init_strategy": opt.init_strategy,
         "acq_func": acq_name or "pvrs",
         "acq_func_kwargs": opt.acq_func_kwargs,
-        "gp_sample_kwargs": getattr(opt, "gp_sample_kwargs", {}),
+        "gp_sample_kwargs": _jsonable_or_warn(
+            getattr(opt, "gp_sample_kwargs", {}), "gp_sample_kwargs"
+        ),
         "Xi": opt.Xi,
         "yi": opt.yi,
         "noisei": opt.noisei,

@@ -195,6 +195,9 @@ def bench_tpu():
         return None if name == "stretch" else _canonical_moves(name)
 
     moves = _resolve_moves(os.environ.get("BENCH_MOVES", "stretch"))
+    # resolve the convergence-leg mixture NOW too (fail fast on a typo
+    # BEFORE the expensive timed run, not after it)
+    _conv_moves = _resolve_moves(os.environ.get("BENCH_CONV_MOVES", "demix"))
 
     # warmup/compile with the SAME static n_steps as the timed run.
     # NB: sync via a scalar host fetch — jax.block_until_ready does NOT
@@ -227,9 +230,7 @@ def bench_tpu():
 
     conv_steps, conv_time, conv_rhat = None, None, None
     if os.environ.get("BENCH_CONVERGENCE", "1") != "0" and N_STEPS >= 100:
-        # resolved lazily INSIDE the gate: a bad name must not throw
-        # away the already-measured headline when convergence is off
-        conv_moves = _resolve_moves(os.environ.get("BENCH_CONV_MOVES", "demix"))
+        conv_moves = _conv_moves
         max_chunks = int(os.environ.get("BENCH_CONV_MAX_CHUNKS", "24"))
         if conv_moves != moves:
             # one-off compile of the mixture program OUTSIDE the timed

@@ -94,11 +94,13 @@ def main():
     nb = fc.pick_nb(N)
     spans = fc._offsets([nb] * (N // nb))
 
-    if variant.startswith("chol"):
-        # (the triangle-split variants were measured 2x SLOWER here —
-        # 126.9/128.5 vs 63.4 ms at n=8192 — and the code was cut;
-        # BASELINE.md round-4 section)
-        if "trailhigh" in variant:
+    if variant in ("chol", "chol-trailhigh"):
+        # (the chol-split1/chol-split2 variants were measured 2x SLOWER
+        # here — 126.9/128.5 vs 63.4 ms at n=8192 — and the code was
+        # cut; BASELINE.md round-4 section. Unknown chol-* names now
+        # fall through to the unknown-variant error instead of silently
+        # timing the plain path under a wrong label.)
+        if variant == "chol-trailhigh":
             fc.TRAILING_PRECISION = jax.lax.Precision.HIGH
 
         @jax.jit

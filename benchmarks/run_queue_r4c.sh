@@ -45,7 +45,9 @@ run python benchmarks/bench_roofline.py chol-trailhigh 8192
 run python benchmarks/bench_roofline.py chol 4096
 run python benchmarks/bench_roofline.py chol-trailhigh 4096
 echo "QUEUE R4C TAIL DONE $(date)" >> $LOG
-# appended: triangle-split trailing-update A/B (roofline follow-up)
+# appended: triangle-split trailing-update A/B (roofline follow-up).
+# HISTORICAL: these ran 2026-08-19 (126.9/128.5 ms — LOST, code cut);
+# re-running now errors on the removed variants, by design.
 run python benchmarks/bench_roofline.py chol-split1 8192
 run python benchmarks/bench_roofline.py chol-split2 8192
 run env  BENCH_DUMMY=1 python benchmarks/bench_roofline.py chol 8192

@@ -78,6 +78,49 @@ def test_until_rhat_converges_on_easy_posterior():
     assert r <= 1.7, r
 
 
+def test_until_rhat_consensus_matches_manual_extension():
+    """The extension loop computes the consensus ONCE after converging;
+    the result must be bit-identical to extending by hand (where every
+    add=True leg recomputes it and the last one wins)."""
+    gp, X, y = _fitted_gp()
+    with pytest.warns(UserWarning, match="did not converge"):
+        gp.fit(X, y, n_burnin=2, n_desired_samples=40,
+               n_walkers_per_thread=10, progress=False,
+               until_rhat=0.5, max_extensions=2)
+
+    gp2, _, _ = _fitted_gp()
+    gp2.fit(X, y, n_burnin=2, n_desired_samples=40,
+            n_walkers_per_thread=10, progress=False)
+    for _ in range(2):
+        gp2.sample(n_desired_samples=40, n_burnin=0,
+                   n_walkers_per_thread=10, progress=False,
+                   position=gp2.pos_, add=True)
+
+    np.testing.assert_array_equal(gp.chain_steps_, gp2.chain_steps_)
+    np.testing.assert_array_equal(gp.theta, gp2.theta)
+    assert gp.log_marginal_likelihood_value_ == (
+        gp2.log_marginal_likelihood_value_
+    )
+    assert gp.noise_ == gp2.noise_
+
+
+def test_until_rhat_keeps_user_position_walker_count():
+    """A position= base run with a walker count different from the
+    configured one must be CONTINUED by the extensions, not silently
+    re-initialized (homogeneous accumulation, same walker count)."""
+    gp, X, y = _fitted_gp()
+    gp.fit(X, y, n_burnin=2, n_desired_samples=40,
+           n_walkers_per_thread=10, progress=False)
+    pos12 = np.concatenate([gp.pos_, gp.pos_[:2]])  # 12 walkers
+    with pytest.warns(UserWarning, match="did not converge"):
+        gp.sample(n_burnin=2, n_desired_samples=40,
+                  n_walkers_per_thread=10, progress=False,
+                  position=pos12, until_rhat=0.5, max_extensions=1)
+    # base leg: ceil(40/10)=4 kept steps at 12 walkers; extension adds
+    # 4 more at the SAME 12 walkers (homogeneous)
+    assert gp.chain_steps_.shape[:2] == (8, 12)
+
+
 def test_until_rhat_in_row_sharded_mode():
     """The extension loop composes with row-sharded mode (legacy chain
     path + add=True continuation over the distributed sweep)."""
@@ -163,6 +206,37 @@ def test_optimizer_gp_sample_kwargs_passthrough(tmp_path):
     opt3 = run(gp_sample_kwargs={"until_rhat": 0.5, "max_extensions": 1})
     assert opt3.gp.chain_steps_.shape[0] == 2
     assert opt3.gp._pending is None
+
+
+def test_moves_round_trip_through_checkpoints(tmp_path):
+    """The constructor move mixture survives save/load at both levels
+    (it is a jit static: a resumed optimizer must keep sampling with
+    the same moves), and non-JSON gp_sample_kwargs degrade with a
+    warning instead of crashing the save."""
+    import bask_tpu as bt
+
+    gp, X, y = _fitted_gp(moves="demix")
+    gp.fit(X, y, n_burnin=2, n_desired_samples=20,
+           n_walkers_per_thread=10, progress=False)
+    p = str(tmp_path / "gp.npz")
+    bt.save_gpr(gp, p)
+    gp2 = bt.load_gpr(p)
+    assert gp2.moves == (("de", 0.8), ("snooker", 0.2))
+
+    opt = bt.Optimizer(dimensions=[(-1.0, 1.0)], n_initial_points=1,
+                       random_state=0, n_points=16,
+                       gp_kwargs={"moves": "demix"})
+    opt.tell([0.3], 0.1, gp_samples=20, gp_burnin=2)
+    po = str(tmp_path / "opt.npz")
+    bt.save_optimizer(opt, po)
+    opt2 = bt.load_optimizer(po)
+    assert opt2.gp.moves == (("de", 0.8), ("snooker", 0.2))
+
+    opt.gp_sample_kwargs = {"warp_priors": lambda a, b: 0.0}
+    with pytest.warns(UserWarning, match="gp_sample_kwargs"):
+        bt.save_optimizer(opt, po)
+    opt3 = bt.load_optimizer(po)
+    assert opt3.gp_sample_kwargs == {}
 
 
 def test_until_rhat_with_moves_and_warm_continuation():
