@@ -41,6 +41,33 @@ def main():
         pg._TILE = int(tile)
     moves = MOVES[os.environ.get("BENCH_MOVES", "stretch")]
 
+    if os.environ.get("BENCH_FWD") == "left":
+        # A/B: the pre-r4 LEFT-looking vector forward solve (library
+        # code was cut after the matrix-solve A/B at n=8192; this
+        # bench-local copy answers whether the VECTOR solve inside the
+        # chain LML regressed at the north-star n=512 shape)
+        from bask_tpu.ops import fast_cholesky as fc
+
+        def _left_forward_solve(L, invs, y, nb=None):
+            n = L.shape[-1]
+            if len(invs) == 1 and invs[0].shape[-1] == n:
+                return (fc._mm(invs[0], y[..., None]))[..., 0]
+            spans = fc._layout_from_invs(invs)
+            ws = []
+            for j, (lo, hi) in enumerate(spans):
+                rhs = y[..., lo:hi]
+                for k, wk in enumerate(ws):
+                    klo, khi = spans[k]
+                    Ljk = L[..., lo:hi, klo:khi]
+                    rhs = rhs - (fc._mm(Ljk, wk[..., None]))[..., 0]
+                ws.append((fc._mm(invs[j], rhs[..., None]))[..., 0])
+            import jax.numpy as _jnp
+
+            return _jnp.concatenate(ws, axis=-1)
+
+        fc.block_forward_solve = _left_forward_solve
+        from bask_tpu.ops import linalg as _linalg  # noqa: F401 (re-bind check)
+
     import bask_tpu as bt
 
     D, N, W, steps = 15, 500, 100, 300
