@@ -297,6 +297,12 @@ def _layout_from_invs(invs):
     return _offsets([iv.shape[-1] for iv in invs])
 
 
+# Vector forward-solve sweep policy: left-looking at <= this many
+# panels (chain-LML shapes; measured win, see block_forward_solve),
+# right-looking beyond (latency argument + the n=8192 matrix A/B).
+_FWD_LEFT_MAX_PANELS = 8
+
+
 def block_forward_solve(L, invs, y, nb: int | None = None):
     """w = L^-1 y using the cached diagonal-block inverses.
 
@@ -308,6 +314,24 @@ def block_forward_solve(L, invs, y, nb: int | None = None):
     if len(invs) == 1 and invs[0].shape[-1] == n:
         return (_mm(invs[0], y[..., None]))[..., 0]
     spans = _layout_from_invs(invs)
+    if len(spans) <= _FWD_LEFT_MAX_PANELS:
+        # LEFT-looking at few panels: measured 2.6% faster inside the
+        # north-star chain (v5e-1 A/B, bench_chain BENCH_FWD=left:
+        # 0.887 vs 0.910-0.912 s warm at n=512, T=4 panels) — the
+        # handful of tiny matvecs beats the right-looking form's
+        # trailing-slice bookkeeping at this size. Right-looking keeps
+        # the many-panel regime (T(T-1)/2 tiny matvecs are latency-
+        # bound there; the n=8192 matrix-solve A/B, BASELINE round 4).
+        ws = []
+        for j, (lo, hi) in enumerate(spans):
+            rhs = y[..., lo:hi]
+            for k, wk in enumerate(ws):
+                klo, khi = spans[k]
+                rhs = rhs - (_mm(L[..., lo:hi, klo:khi], wk[..., None]))[
+                    ..., 0
+                ]
+            ws.append((_mm(invs[j], rhs[..., None]))[..., 0])
+        return jnp.concatenate(ws, axis=-1)
     r = y
     ws = []
     for j, (lo, hi) in enumerate(spans):

@@ -122,6 +122,30 @@ def test_fast_lml_matches_slow_path():
     np.testing.assert_allclose(fast, slow, rtol=1e-8)
 
 
+def test_forward_solve_both_sweep_branches_match_xla():
+    """The vector forward solve is left-looking at few panels (measured
+    in-chain win) and right-looking beyond; both branches must match
+    XLA's substitution. n=512/nb=128 hits the left branch (T=4),
+    n=2048/nb=128 the right one (T=16)."""
+    from jax.scipy.linalg import solve_triangular
+
+    from bask_tpu.ops import fast_cholesky as fc
+
+    rng = np.random.RandomState(0)
+    for n, nb, batch in ((512, 128, (3,)), (2048, 128, ()), (832, 256, ())):
+        B = rng.randn(*batch, n, n)
+        A = jnp.asarray(B @ np.swapaxes(B, -1, -2) + n * np.eye(n))
+        L, invs = fc.block_cholesky(A, nb=nb)
+        T = len(invs)
+        assert (T <= fc._FWD_LEFT_MAX_PANELS) == (n in (512, 832))
+        y = jnp.asarray(rng.randn(*batch, n))
+        w = np.asarray(fc.block_forward_solve(L, invs, y))
+        ref = np.asarray(
+            solve_triangular(L, y[..., None], lower=True)[..., 0]
+        )
+        np.testing.assert_allclose(w, ref, rtol=1e-9, atol=1e-10)
+
+
 def test_trailing_precision_knob_parity_and_nan():
     """TRAILING_PRECISION (the measured-off escape hatch) changes only
     matmul precision: on CPU (where HIGH == HIGHEST) the factor is
