@@ -172,10 +172,10 @@ def bench_tpu():
                     # context only, NOT a fresh measurement: the last
                     # completed hardware run of this same bench
                     # (v5e-1, 2026-08-19, BASELINE.md round-4 headline;
-                    # that run also measured time_to_rhat_1.1 = 9.54 s
+                    # that run also measured time_to_rhat_1.1 = 8.16 s
                     # at 3000 steps with the demix extension leg)
-                    "last_measured_value": 0.846,
-                    "last_measured_vs_baseline": 256.3,
+                    "last_measured_value": 0.786,
+                    "last_measured_vs_baseline": 275.9,
                     "last_measured_date": "2026-08-19",
                 }
             )
