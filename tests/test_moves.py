@@ -68,16 +68,40 @@ def test_single_move_mixture_differs_from_stretch():
 def test_moves_validation():
     lp, _ = _corr_gauss_lp()
     with pytest.raises(ValueError, match="unknown move"):
-        mcmc._normalize_moves((("walk", 1.0),), 2.0)
+        mcmc._normalize_moves((("walk", 1.0),))
     with pytest.raises(ValueError, match="weight"):
-        mcmc._normalize_moves((("de", -1.0),), 2.0)
+        mcmc._normalize_moves((("de", -1.0),))
     with pytest.raises(ValueError, match="positive"):
-        mcmc._normalize_moves((("de", 0.0),), 2.0)
+        mcmc._normalize_moves((("de", 0.0),))
     names, weights = mcmc._normalize_moves(
-        (("stretch", 1.0), ("de", 3.0)), 2.0
+        (("stretch", 1.0), ("de", 3.0))
     )
     assert names == ("stretch", "de")
     np.testing.assert_allclose(weights, (0.25, 0.75))
+
+
+def test_walker_count_validation():
+    lp, _ = _corr_gauss_lp()
+    # DE draws 2 distinct anchors from the complementary half: W >= 4
+    pos2 = jax.random.normal(jax.random.PRNGKey(0), (2, 2))
+    with pytest.raises(ValueError, match="at least 4 walkers"):
+        mcmc.run_ensemble(
+            lp, pos2, jax.random.PRNGKey(1), 5, moves=(("de", 1.0),)
+        )
+    # snooker draws 3: W >= 6
+    pos4 = jax.random.normal(jax.random.PRNGKey(0), (4, 2))
+    with pytest.raises(ValueError, match="at least 6 walkers"):
+        mcmc.run_ensemble(
+            lp, pos4, jax.random.PRNGKey(1), 5,
+            moves=(("de", 0.5), ("snooker", 0.5)),
+        )
+    # stretch at W=2 and DE at W=4 are fine
+    c, _ = mcmc.run_ensemble(lp, pos2, jax.random.PRNGKey(1), 5)
+    assert np.all(np.isfinite(np.asarray(c)))
+    c, _ = mcmc.run_ensemble(
+        lp, pos4, jax.random.PRNGKey(1), 5, moves=(("de", 1.0),)
+    )
+    assert np.all(np.isfinite(np.asarray(c)))
 
 
 def test_de_neg_inf_proposals_rejected():

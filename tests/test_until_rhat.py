@@ -239,6 +239,24 @@ def test_moves_round_trip_through_checkpoints(tmp_path):
     assert opt3.gp_sample_kwargs == {}
 
 
+def test_until_rhat_result_reset_on_plain_sample():
+    """A stale non-converged until_rhat_result_ from an earlier run must
+    not survive a later sample() that never ran the convergence loop
+    (Optimizer.tell reads it to re-surface convergence warnings)."""
+    gp, X, y = _fitted_gp()
+    with pytest.warns(UserWarning, match="did not converge"):
+        gp.fit(X, y, n_burnin=2, n_desired_samples=40,
+               n_walkers_per_thread=10, progress=False,
+               until_rhat=0.5, max_extensions=1)
+    assert gp.until_rhat_result_ is not None
+    assert not gp.until_rhat_result_["converged"]
+    # plain refit: no convergence loop -> the stale result is cleared
+    gp.sample(n_desired_samples=40, n_burnin=0,
+              n_walkers_per_thread=10, progress=False,
+              position=gp.pos_, add=True)
+    assert gp.until_rhat_result_ is None
+
+
 def test_until_rhat_with_moves_and_warm_continuation():
     """Extensions warm-continue (pos_ reused) and respect the moves
     mixture: the extended chain must differ from a pure-stretch one of
