@@ -136,8 +136,21 @@ def _host_prior_wrapper(p, joint: bool = False):
     return host_prior
 
 
+# convergence guard active by default: sample()/fit() warn when the
+# retained chain's max split R-hat exceeds this (the standard threshold).
+# The estimator is host-side numpy over the already-fetched kept steps —
+# measured ~0.2 ms at the (200, 100, 17) bench shape, i.e. free next to
+# one device dispatch. The reference ships NO convergence signal at all
+# (bask/bayesgpr.py:381-548); pass warn_rhat=None for its silence.
+DEFAULT_WARN_RHAT = 1.1
+
+
 def _maybe_warn_rhat(kept_steps, warn_rhat):
-    """Shared convergence guard of both sample() branches."""
+    """Shared convergence guard of both sample() branches.
+
+    Chains too short for the split estimator (< 4 kept steps — e.g. the
+    reference-shaped ``fit()`` default of 100 samples over 100 walkers)
+    are skipped: no cheap honest estimate exists there."""
     if warn_rhat is None or kept_steps.shape[0] < 4:
         return
     from ..utils.diagnostics import split_rhat
@@ -147,8 +160,11 @@ def _maybe_warn_rhat(kept_steps, warn_rhat):
         warnings.warn(
             f"MCMC chain may not be converged: max split R-hat "
             f"{max_rhat:.3f} exceeds the threshold {warn_rhat}. "
-            "Increase n_desired_samples/n_burnin, or inspect "
-            "mcmc_diagnostics() per dimension.",
+            "Sample to convergence with until_rhat="
+            f"{warn_rhat} (warm chunk extensions), increase "
+            "n_desired_samples/n_burnin, or inspect "
+            "mcmc_diagnostics() per dimension. Pass warn_rhat=None "
+            "to silence this guard.",
             UserWarning,
             stacklevel=3,
         )
@@ -450,9 +466,20 @@ def _canonical_moves(moves):
     String shorthands: a single move name ("stretch"/"de"/"snooker")
     means that move at weight 1, and "demix" is the measured
     DE 0.8 + snooker 0.2 mixture (BASELINE.md round-4 convergence
-    ladder: R-hat<1.1 at 4800 steps vs stretch >7200)."""
+    ladder: R-hat<1.1 at 4800 steps vs stretch >7200).
+
+    ``"auto"`` — the library default — is kept as a sentinel and
+    resolved per sample() call once the walker count is known: demix
+    when the ensemble can support it (W >= 6), pure stretch below.
+    Rationale (PARITY.md): on every measured GP hyperposterior the
+    DE+snooker mixture both converges ~1.5-2.6x faster AND visits a
+    real secondary posterior mode the stretch move never reaches —
+    the honest default. ``moves="stretch"``/``None`` restores the
+    reference's (emcee-default) sampler bit-stably."""
     if moves is None:
         return None
+    if moves == "auto":
+        return "auto"
     if isinstance(moves, str):
         moves = _MOVE_ALIASES.get(moves, ((moves, 1.0),))
     from ..parallel.mcmc import _normalize_moves
@@ -465,6 +492,10 @@ def _canonical_moves(moves):
 _MOVE_ALIASES = {
     "demix": (("de", 0.8), ("snooker", 0.2)),
     "tri": (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
+    # DREAM-style subspace-crossover DE in place of full-dimension DE:
+    # in D >~ 10 the crossover subspace lets per-coordinate jumps grow
+    # by sqrt(D/d') at equal acceptance (parallel/mcmc.de_cr_step)
+    "dream": (("de_cr", 0.8), ("snooker", 0.2)),
 }
 
 
@@ -953,7 +984,7 @@ class BayesGPR:
         row_nb: int = 256,
         row_unroll: bool = False,
         row_grad_method: str = "adjoint",
-        moves=None,
+        moves="auto",
     ):
         if kernel is None:
             kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
@@ -994,9 +1025,10 @@ class BayesGPR:
         self.row_unroll = bool(row_unroll)
         self.row_grad_method = row_grad_method
         # ensemble move mixture, e.g. (("de", 0.8), ("snooker", 0.2));
-        # None = the historical pure-stretch chain (bit-stable).
-        # Normalized eagerly to a hashable tuple — it rides the jitted
-        # chain programs as a static argument.
+        # "auto" (default) = demix when the walker count supports it,
+        # stretch below; None/"stretch" = the historical pure-stretch
+        # chain (bit-stable). Normalized eagerly to a hashable tuple —
+        # it rides the jitted chain programs as a static argument.
         self.moves = _canonical_moves(moves)
         if isinstance(random_state, np.random.RandomState):
             self.random_state = random_state
@@ -1508,10 +1540,11 @@ class BayesGPR:
         position=None,
         add: bool = False,
         mesh=None,
-        warn_rhat: Optional[float] = None,
+        warn_rhat="default",
         moves=None,
         until_rhat: Optional[float] = None,
         max_extensions: int = 10,
+        extension_steps: Optional[int] = None,
         _defer_fetch: bool = False,
         _consensus: bool = True,
         **kwargs,
@@ -1536,13 +1569,21 @@ class BayesGPR:
         rejected there, and the fused single-program path is skipped
         (it factorizes the consensus posterior in-program).
 
-        ``warn_rhat``: optional convergence guard — when set, a
-        ``UserWarning`` is raised if the retained step-major chain's
-        maximum split R-hat exceeds it (a typical threshold is 1.1; the
+        ``warn_rhat``: convergence guard — a ``UserWarning`` is raised
+        if the retained step-major chain's maximum split R-hat exceeds
+        it. ACTIVE BY DEFAULT at the standard 1.1 threshold (the
         reference exposes no diagnostics at all,
-        ``bask/bayesgpr.py:510-534``). Consensus-median estimates are
-        usually usable well before strict convergence, hence a warning
-        rather than an error.
+        ``bask/bayesgpr.py:510-534``; a silently-unconverged
+        hyperposterior is the failure mode this guards). Pass ``None``
+        for the reference's silence, or a float for a custom
+        threshold. When ``until_rhat`` is given, its own
+        convergence/budget warning supersedes this default (an
+        explicitly passed ``warn_rhat`` still applies to the final
+        chain). Chains with fewer than 4 kept steps (e.g. the default
+        ``fit()`` shape of 100 samples over 100 walkers) carry no
+        cheap honest estimate and are not judged. Consensus-median
+        estimates are usually usable well before strict convergence,
+        hence a warning rather than an error.
 
         ``moves``: optional ensemble move mixture as ``(name, weight)``
         pairs with names in {"stretch", "de", "snooker"} — e.g.
@@ -1569,12 +1610,24 @@ class BayesGPR:
         median is robust to the pre-converged transient, but pass a
         real ``n_burnin`` if the early steps should be excluded from
         ``chain_`` outright.
+
+        ``extension_steps``: per-leg chain length of the ``until_rhat``
+        loop, in ensemble steps. Defaults to the base run's own step
+        count (``ceil(n_desired_samples / n_walkers)``) — at the
+        default shape of 100 samples over 100 walkers that is ONE step
+        per leg, so pass something real (the hardware-validated chunk
+        is 300; bench.py / BASELINE.md round-4) whenever the base run
+        is short.
         """
         # a stale result from an earlier until_rhat run must not
         # re-trigger Optimizer.tell()'s convergence warning for a refit
         # that never ran the convergence loop; the until_rhat branch
         # below sets a fresh one after its extension loop
         self.until_rhat_result_ = None
+        if isinstance(warn_rhat, str):  # "default" sentinel
+            # until_rhat's own convergence/budget warning supersedes
+            # the default guard (one verdict per call, not two)
+            warn_rhat = None if until_rhat is not None else DEFAULT_WARN_RHAT
         if until_rhat is not None:
             # base run first (fused fast path allowed), then warm
             # chunk-extensions — the same pattern bench.py and
@@ -1595,6 +1648,9 @@ class BayesGPR:
                 add=add,
                 mesh=mesh,
                 moves=moves,
+                # the extension loop owns the convergence verdict; the
+                # per-leg guard would fire spuriously on partial chains
+                warn_rhat=None,
                 **kwargs,
             )
 
@@ -1612,6 +1668,15 @@ class BayesGPR:
                     half = steps
                 return float(np.max(split_rhat(half)))
 
+            if extension_steps is not None:
+                # translate "steps per leg" into the sample-count
+                # convention: n_steps = ceil(samples / n_walkers)
+                n_w_cfg = max(2, n_threads * n_walkers_per_thread)
+                if n_w_cfg % 2:
+                    n_w_cfg += 1
+                leg_samples = int(extension_steps) * n_w_cfg
+            else:
+                leg_samples = n_desired_samples
             extended = False
             for _ in range(max_extensions):
                 if _second_half_rhat() <= until_rhat:
@@ -1619,7 +1684,7 @@ class BayesGPR:
                 extended = True
                 self.sample(
                     n_threads=n_threads,
-                    n_desired_samples=n_desired_samples,
+                    n_desired_samples=leg_samples,
                     n_burnin=0,
                     n_thin=n_thin,
                     n_walkers_per_thread=n_walkers_per_thread,
@@ -1635,6 +1700,7 @@ class BayesGPR:
                     add=True,
                     mesh=mesh,
                     moves=moves,
+                    warn_rhat=None,
                     # each leg's consensus would be discarded by the
                     # next — compute it ONCE after the loop instead
                     _consensus=False,
@@ -1765,6 +1831,19 @@ class BayesGPR:
         moves = (
             _canonical_moves(moves) if moves is not None else self.moves
         )
+        if moves == "auto":
+            # the library default, resolved now that the ACTUAL walker
+            # count is known: the measured-fastest honest sampler (demix
+            # — see _canonical_moves) when the ensemble supports its
+            # 3-distinct-anchor snooker draws, DE alone when only its
+            # 2-anchor draws fit, pure stretch below
+            w_act_moves = pos.shape[0]
+            if w_act_moves >= 6:
+                moves = _MOVE_ALIASES["demix"]
+            elif w_act_moves >= 4:
+                moves = (("de", 1.0),)
+            else:
+                moves = None
 
         use_fused = (
             FUSED_SAMPLE == "on"
@@ -1805,7 +1884,7 @@ class BayesGPR:
             n_kept = len(range(n_burnin + n_thin - 1, n_steps, n_thin))
             meta = (n_kept, w_act, d_act, n_steps, n_gp_dim, n_warp)
             post_data = self._data._replace(X=Xw)
-            if _defer_fetch and not self.warp_inputs and warn_rhat is None:
+            if _defer_fetch and not self.warp_inputs:
                 # Overlap path: keep the blob ON DEVICE so the caller can
                 # dispatch the acquisition program against the
                 # device-resident consensus outputs (theta/posterior/
@@ -1821,6 +1900,10 @@ class BayesGPR:
                 self._pending = {
                     "blob": blob_dev,
                     "meta": meta,
+                    # the convergence guard runs at finalize time — the
+                    # kept steps are on the host there anyway, so the
+                    # default warn_rhat costs the overlap path nothing
+                    "warn_rhat": warn_rhat,
                     "theta_dev": blob_dev[off_median : off_median + n_gp_dim],
                     "chain_dev": blob_dev[:sz_chain].reshape(
                         n_kept * w_act, d_act
@@ -2034,7 +2117,7 @@ class BayesGPR:
         except Exception:
             self._post, self._post_data = p["prev_post"]
             raise
-        self._install_from_blob(blob, meta)
+        self._install_from_blob(blob, meta, p.get("warn_rhat"))
         if extra is not None and extra_shape is not None:
             extra = extra.reshape(extra_shape)
         return extra

@@ -89,6 +89,9 @@ class Optimizer:
         random_state=None,
         mesh=None,
         gp_sample_kwargs: Optional[dict] = None,
+        acq_polish: int = 0,
+        acq_polish_starts: int = 4,
+        acq_polish_lr: float = 0.05,
         **kwargs,
     ):
         if isinstance(random_state, np.random.RandomState):
@@ -137,6 +140,17 @@ class Optimizer:
         self.gp_priors = gp_priors
         self.mesh = mesh
         self.gp_sample_kwargs = dict(gp_sample_kwargs or {})
+        # gradient-polished argmax (opt-in, beyond reference): after the
+        # grid pass, run `acq_polish` Adam steps on the acquisition
+        # surface from the top `acq_polish_starts` grid points using the
+        # GP's analytic prediction gradients (acquisition
+        # .polish_acquisition). The reference stops at the 500-point
+        # random grid (bask/optimizer.py:353-376). Skipped silently for
+        # acquisitions with no coherent pointwise surface (MES/TS),
+        # categorical spaces, and custom acquisition classes.
+        self.acq_polish = int(acq_polish)
+        self.acq_polish_starts = int(acq_polish_starts)
+        self.acq_polish_lr = float(acq_polish_lr)
 
         self.Xi = []
         self.yi = []
@@ -372,8 +386,24 @@ class Optimizer:
                 # merge would raise on overlap instead)
                 common.update(self.gp_sample_kwargs)
                 if self.gp.pos_ is None or replace:
+                    # Convergence-honest first fit: the cold fit is the
+                    # one refit with real non-convergence risk (every
+                    # later refit warm-starts from a mixed ensemble and
+                    # only tracks a one-observation posterior shift), so
+                    # it samples to R-hat <= 1.1 by default, warm-
+                    # extending in the hardware-validated 300-step
+                    # chunks and warning if the budget runs out. The
+                    # reference's first fit is 11 silent steps
+                    # (bask/optimizer.py:248-270 + bask/bayesgpr.py:381).
+                    # Opt out (or re-tune) via
+                    # gp_sample_kwargs={"until_rhat": None}.
+                    cold = dict(common)
+                    if "until_rhat" not in cold:
+                        cold["until_rhat"] = 1.1
+                        cold.setdefault("max_extensions", 12)
+                        cold.setdefault("extension_steps", 300)
                     self.gp.fit(
-                        self.space.transform(self.Xi), self.yi, **common
+                        self.space.transform(self.Xi), self.yi, **cold
                     )
                 else:
                     # warm refit: defer the device->host fetch so the
@@ -390,11 +420,7 @@ class Optimizer:
             # the catch_warnings block above suppresses GP warnings;
             # a failed until_rhat refit must still be visible
             ur = getattr(self.gp, "until_rhat_result_", None)
-            if (
-                "until_rhat" in self.gp_sample_kwargs
-                and ur is not None
-                and not ur["converged"]
-            ):
+            if ur is not None and not ur["converged"]:
                 warnings.warn(
                     f"GP refit did not reach R-hat <= {ur['threshold']} "
                     f"within the extension budget (max split R-hat "
@@ -447,8 +473,31 @@ class Optimizer:
                 # safety net: never let a deferred sample escape tell()
                 self.gp._finalize_sample()
             acq_values = acq_out.flatten()
+            best_x_t = X[np.argmax(acq_values)]
+            if self.acq_polish > 0 and not self.space.is_partly_categorical:
+                # top-k grid points (always including the argmax) seed a
+                # few Adam steps on the differentiable acquisition
+                # surface; the polished winner is compared WITHIN the
+                # polish program's own MC draws (best-tracking ascent
+                # never returns worse than its start there)
+                k = min(self.acq_polish_starts, len(X))
+                top = np.argsort(acq_values)[-k:]
+                polished = acq_mod.polish_acquisition(
+                    X[top],
+                    gpr=self.gp,
+                    acq=self.acq_func,
+                    n_samples=n_samples,
+                    random_state=self.rng.randint(0, np.iinfo(np.int32).max),
+                    n_steps=self.acq_polish,
+                    lr=self.acq_polish_lr,
+                    X_pool=X,
+                    **self.acq_func_kwargs,
+                )
+                if polished is not None:
+                    xb, vb = polished
+                    best_x_t = xb[int(np.argmax(vb))]
             self._next_x = self.space.inverse_transform(
-                X[np.argmax(acq_values)][None, :]
+                best_x_t[None, :]
             )[0]
             # lightweight per-phase observability (the reference exposes
             # none, SURVEY.md §5): wall-clock of the MCMC refit and the

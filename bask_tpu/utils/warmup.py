@@ -68,6 +68,20 @@ def warmup_optimizer(
         # per-refit sampler overrides (moves=, a=) are jit statics too
         gp_sample_kwargs=getattr(opt, "gp_sample_kwargs", {}),
     )
+    if "until_rhat" not in clone.gp_sample_kwargs:
+        # the default convergence-honest COLD fit warm-extends the chain
+        # in 300-step legs; ONE leg on the synthetic data compiles the
+        # same leg program (n_steps=300 is the jit static) without
+        # sampling a throwaway posterior to convergence. Applied only to
+        # the bucket-filling cold tell below — the warm tell must keep
+        # the real loop's deferred-fetch path (until_rhat would skip it).
+        cold_kwargs = dict(
+            clone.gp_sample_kwargs,
+            until_rhat=1.1, max_extensions=1, extension_steps=300,
+        )
+    else:
+        cold_kwargs = clone.gp_sample_kwargs
+    warm_kwargs = clone.gp_sample_kwargs
     rng = np.random.RandomState(rng_seed)
     d = opt.space.transformed_n_dims
     buckets = sorted({_bucket(max(int(n), 1)) for n in n_observations})
@@ -77,14 +91,18 @@ def warmup_optimizer(
         X = rng.uniform(size=(b - 1, d))
         y = np.sin(3.0 * X[:, 0]) + 0.1 * rng.randn(X.shape[0])
         pts = opt.space.inverse_transform(X)
-        clone.tell(
-            pts,
-            list(y),
-            replace=True,
-            n_samples=n_samples,
-            gp_samples=gp_samples,
-            gp_burnin=gp_burnin,
-        )
+        clone.gp_sample_kwargs = cold_kwargs
+        try:
+            clone.tell(
+                pts,
+                list(y),
+                replace=True,
+                n_samples=n_samples,
+                gp_samples=gp_samples,
+                gp_burnin=gp_burnin,
+            )
+        finally:
+            clone.gp_sample_kwargs = warm_kwargs
         # one more point inside the same bucket drives the WARM tell —
         # the overlapped sample+acquisition path with its packed
         # single-fetch program — so the production loop's steady state

@@ -3,6 +3,8 @@
 depend on the NumPy/emcee RNG stream, so the diagnostics are asserted in
 tight behavioral bands instead of to 2 decimals."""
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -117,8 +119,17 @@ def test_error_on_invalid_priors():
 
 @pytest.fixture(scope="module")
 def fitted_opt():
+    # Reference-comparable sampler configuration: the diagnostics tests
+    # below pin the MC ESTIMATOR formulas against the reference's
+    # published values, which its emcee-default stretch sampler
+    # produced. The library default (demix + converged cold fit) finds
+    # the secondary tiny-noise posterior mode the stretch move never
+    # visits, legitimately widening the hyperposterior — so isolate the
+    # estimator parity from the sampler change here;
+    # test_diagnostics_under_default_sampler covers the honest default.
     opt = Optimizer(
-        dimensions=[(-2.0, 2.0)], n_initial_points=0, random_state=123
+        dimensions=[(-2.0, 2.0)], n_initial_points=0, random_state=123,
+        gp_sample_kwargs={"moves": "stretch", "until_rhat": None},
     )
     opt.tell(
         [[-2.0], [-1.0], [0.0], [1.0], [2.0]],
@@ -200,6 +211,33 @@ def test_expected_optimality_gap(fitted_opt, kwargs, golden, reference):
     )
     np.testing.assert_almost_equal(gap, golden, decimal=2)
     assert abs(gap - reference) <= 0.07
+
+
+def test_diagnostics_under_default_sampler():
+    """The honest default (demix + converged cold fit) widens the
+    hyperposterior vs the reference's under-mixed stretch chain (it
+    visits the tiny-noise mode); the diagnostics must stay valid and
+    coherent there, even though the reference-pinned values above are
+    produced under the reference-comparable sampler."""
+    opt = Optimizer(
+        dimensions=[(-2.0, 2.0)], n_initial_points=0, random_state=123,
+        gp_sample_kwargs={"max_extensions": 2, "extension_steps": 50},
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        opt.tell(
+            [[-2.0], [-1.0], [0.0], [1.0], [2.0]],
+            [2.0, 0.0, -2.0, 0.0, 2.0],
+            gp_burnin=10,
+        )
+    prob = opt.probability_of_optimality(
+        threshold=1.0, n_random_starts=100, random_state=1
+    )
+    assert 0.5 <= prob <= 1.0
+    probs = opt.probability_of_optimality(
+        threshold=(2.0, 0.05), n_random_starts=50, random_state=1
+    )
+    assert probs[0] >= probs[1] - 1e-9
 
 
 def test_optimum_intervals():

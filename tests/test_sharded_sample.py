@@ -48,6 +48,14 @@ def _run_mesh_loop(mesh):
         acq_func="ei",
         random_state=5,
         mesh=mesh,
+        # the bit-exact sharded==unsharded contract is pinned on the
+        # historical stretch path with fixed-budget refits. Under the
+        # round-5 defaults the sharded program can differ by single-ulp
+        # f64 reassociation (measured 2.2e-16 in the demix LML at one
+        # walker-step), and the default COLD fit's warm extensions run
+        # long enough for such a ulp to flip a borderline accept —
+        # equal distribution, not equal bits (see PARITY.md).
+        gp_sample_kwargs={"until_rhat": None, "moves": "stretch"},
     )
     rng = np.random.RandomState(2)
     nxs = []

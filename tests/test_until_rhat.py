@@ -173,9 +173,9 @@ def test_until_rhat_under_walker_mesh():
 
 
 def test_optimizer_gp_sample_kwargs_passthrough(tmp_path):
-    """Optimizer(gp_sample_kwargs=...) reaches every refit: a demix BO
-    loop's chain differs from the default loop at identical seeds, and
-    the kwargs round-trip through save/load."""
+    """Optimizer(gp_sample_kwargs=...) reaches every refit: a stretch BO
+    loop's chain differs from the default (auto -> demix) loop at
+    identical seeds, and the kwargs round-trip through save/load."""
     import bask_tpu as bt
 
     def f(x):
@@ -191,14 +191,14 @@ def test_optimizer_gp_sample_kwargs_passthrough(tmp_path):
             opt.tell(x, f(x), gp_samples=20, gp_burnin=2)
         return opt
 
-    opt_demix = run(gp_sample_kwargs={"moves": "demix"})
+    opt_stretch = run(gp_sample_kwargs={"moves": "stretch"})
     opt_plain = run()
-    assert not np.array_equal(opt_demix.gp.chain_, opt_plain.gp.chain_)
+    assert not np.array_equal(opt_stretch.gp.chain_, opt_plain.gp.chain_)
 
     p = str(tmp_path / "opt.npz")
-    bt.save_optimizer(opt_demix, p)
+    bt.save_optimizer(opt_stretch, p)
     opt2 = bt.load_optimizer(p)
-    assert opt2.gp_sample_kwargs == {"moves": "demix"}
+    assert opt2.gp_sample_kwargs == {"moves": "stretch"}
 
     # until_rhat inside warm tells: the wrapper ignores the deferred-
     # fetch fast path (host chain state needed per leg) and extends —
@@ -273,5 +273,5 @@ def test_until_rhat_with_moves_and_warm_continuation():
     with pytest.warns(UserWarning, match="did not converge"):
         gp2.fit(X, y, n_burnin=2, n_desired_samples=40,
                 n_walkers_per_thread=10, progress=False,
-                until_rhat=0.5, max_extensions=1)
+                until_rhat=0.5, max_extensions=1, moves="stretch")
     assert not np.array_equal(gp.chain_steps_, gp2.chain_steps_)
