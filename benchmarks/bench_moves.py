@@ -37,6 +37,13 @@ SPECS = {
     # stretch for local mixing + DE/snooker for covariance adaptation
     # and mode hopping
     "tri": (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
+    # round-5 candidates: DREAM-style subspace-crossover DE — in high D
+    # the crossover mask lets per-coordinate jumps grow by sqrt(D/d')
+    # at equal acceptance (parallel/mcmc.de_cr_step)
+    "decr": (("de_cr", 1.0),),
+    "dream": (("de_cr", 0.8), ("snooker", 0.2)),
+    "dream9": (("de_cr", 0.9), ("snooker", 0.1)),
+    "dreammix": (("de", 0.4), ("de_cr", 0.4), ("snooker", 0.2)),
 }
 
 
@@ -62,9 +69,15 @@ def main():
     )
 
     small = bool(os.environ.get("BENCH_SMALL"))
-    D = 4 if small else 15
-    N = 64 if small else 500
-    W = 32 if small else 100
+    med = bool(os.environ.get("BENCH_MED"))
+    if small:
+        D, N, W = 4, 64, 32
+    elif med:
+        # CPU-tractable stand-in for the north-star hyperposterior:
+        # FULL 15-D kernel (17 chain dims) over a smaller train set
+        D, N, W = 15, 128, 100
+    else:
+        D, N, W = 15, 500, 100
     chunk = int(os.environ.get("BENCH_CHUNK", 1200))
     max_steps = int(os.environ.get("BENCH_MAX_STEPS", 7200))
 
