@@ -121,6 +121,13 @@ def build_north_star(dtype=None):
 
 def bench_tpu():
     import jax
+
+    if os.environ.get("BENCH_CPU"):
+        # smoke/testing knob only — the recorded numbers come from the
+        # real chip (jax_platforms env var is ignored under axon;
+        # CLAUDE.md gotcha 2)
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     from jax import lax
 
@@ -229,6 +236,7 @@ def bench_tpu():
     from bask_tpu.utils.diagnostics import split_rhat as _split_rhat
 
     conv_steps, conv_time, conv_rhat = None, None, None
+    alt_elapsed = None
     if os.environ.get("BENCH_CONVERGENCE", "1") != "0" and N_STEPS >= 100:
         conv_moves = _conv_moves
         max_chunks = int(os.environ.get("BENCH_CONV_MAX_CHUNKS", "24"))
@@ -240,6 +248,18 @@ def bench_tpu():
                 moves=conv_moves,
             )
             float(_fin.log_prob[0])
+            # demix-headline variant (VERDICT r4 #4): the identical
+            # 100x300 fixed workload timed under the convergence-leg
+            # mixture, from the same start, warm (the compile above).
+            # Recorded alongside the stretch headline so the cost of
+            # the honest default sampler is a bench field, not lore.
+            t0 = time.perf_counter()
+            _, _fin = run_ensemble(
+                log_prob, pos0, jax.random.PRNGKey(1), N_STEPS,
+                moves=conv_moves,
+            )
+            float(_fin.log_prob[0])
+            alt_elapsed = time.perf_counter() - t0
         parts = [np.asarray(chain)]
         t_conv = elapsed  # the headline chunk is the first leg
         kc = jax.random.PRNGKey(2)
@@ -324,7 +344,7 @@ def bench_tpu():
         ess = float(np.min(effective_sample_size(steps)))
     else:
         rhat, ess = float("nan"), float("nan")
-    conv = (conv_steps, conv_time, conv_rhat)
+    conv = (conv_steps, conv_time, conv_rhat, alt_elapsed)
     return elapsed, acc, acq_evals_per_s, rhat, ess, conv
 
 
@@ -416,7 +436,7 @@ def main():
         CPU_MEASURE_REPS = 1
 
     tpu_time, acc, acq_rate, rhat, ess, conv = bench_tpu()
-    conv_steps, conv_time, conv_rhat = conv
+    conv_steps, conv_time, conv_rhat, alt_time = conv
     cpu_time, cpu_spread = bench_cpu_reference()
     pinned = None if quick else _pinned_baseline()
     if pinned is not None:
@@ -464,6 +484,18 @@ def main():
                     "moves": os.environ.get("BENCH_MOVES", "stretch"),
                     "convergence_moves": os.environ.get(
                         "BENCH_CONV_MOVES", "demix"
+                    ),
+                    # the SAME fixed workload timed under the
+                    # convergence-leg mixture (the library's honest
+                    # default sampler at this walker count) — both
+                    # headline variants in one bench run (VERDICT r4 #4)
+                    "headline_conv_moves_s": (
+                        round(alt_time, 3) if alt_time is not None else None
+                    ),
+                    "vs_baseline_conv_moves": (
+                        round(speedup * tpu_time / alt_time, 2)
+                        if alt_time is not None
+                        else None
                     ),
                 },
             }

@@ -51,7 +51,12 @@ def main():
     # keep the tunnel-worker load bounded at the top shapes: n=16384
     # sweeps cost ~1 s each, and the worker dies under multi-hundred-
     # second single programs (gotcha 9)
-    if N >= 16384:
+    if N >= 32768:
+        # one f32 gram strip set is ~4 GB at this n: W=4 chain, the
+        # leanest (jvp, ~2-strip) ML-II gradients, minimal steps — the
+        # point is that the tier RUNS and what a sweep costs
+        W, steps = 4, 6
+    elif N >= 16384:
         W, steps = 8, 10
     else:
         W, steps = (50 if mode == "dense" else 16), 20
@@ -67,6 +72,8 @@ def main():
         n_dev = len(jax.devices())
         mesh = Mesh(np.array(jax.devices()[: max(1, n_dev)]), ("r",))
         kw = dict(row_mesh=mesh, row_nb=512, row_unroll=N <= 8192)
+        if N >= 32768:
+            kw["row_grad_method"] = "jvp"  # leanest peak memory
     # n>=16384: the one-program device L-BFGS (60 iters x sweep+adjoint
     # in a single scan) crashed the tunnel worker (2026-08-19, r4b run;
     # the long-program class of CLAUDE.md gotcha 9). The host driver
