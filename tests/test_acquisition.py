@@ -130,10 +130,49 @@ def test_acquisition_matches_oracle_on_real_chain(
     np.testing.assert_allclose(values[0], expected, rtol=1e-5, atol=1e-10)
     am = int(np.argmax(values))
     assert am == int(np.argmax(expected))
-    # smooth surfaces land near the reference's RNG-dependent argmax
-    assert abs(am - ref_argmax) <= 12, (
+    # smooth surfaces land near the reference's RNG-dependent argmax.
+    # Measured wobble (20 seeds on this fixture chain, round 5): at
+    # n_draws=10 the argmax spans <=4 cells around the reference index
+    # (e.g. EI in {32..36} vs ref 33); window 6 leaves margin for
+    # platform RNG variation. test_acquisition_argmax_stabilizes pins
+    # the tighter many-draw contract.
+    assert abs(am - ref_argmax) <= 6, (
         f"{acq_cls.__name__}: argmax {am} vs reference {ref_argmax}"
     )
+
+
+def test_acquisition_argmax_stabilizes(fitted_gp):
+    """With enough hyperposterior draws the marginal argmax is seed-
+    independent and lands within 5 cells of the reference's published
+    indices (`/root/reference/tests/test_acquisition.py:42-54`).
+
+    Measured (round 5, 20 seeds at n_draws=100): the argmax is
+    IDENTICAL across seeds per acquisition — LCB 40 (ref 38), EI 34
+    (ref 33), mean 27 (ref 30), TTEI 30 (ref 32) — so the residual
+    offset is the chain-distribution difference (our RNG stream +
+    DE/snooker default sampler vs emcee's stretch), not MC noise.
+    """
+    for acq_cls, ref in (
+        (acq.LCB, 38),
+        (acq.ExpectedImprovement, 33),
+        (acq.Expectation, 30),
+        (acq.TopTwoEI, 32),
+    ):
+        ams = set()
+        for seed in (0, 7):
+            values = acq.evaluate_acquisitions(
+                X=X_GRID,
+                gpr=fitted_gp,
+                acquisition_functions=[acq_cls()],
+                random_state=seed,
+                n_samples=100,
+            )
+            ams.add(int(np.argmax(values)))
+        assert len(ams) == 1, f"{acq_cls.__name__}: seed-dependent {ams}"
+        am = ams.pop()
+        assert abs(am - ref) <= 5, (
+            f"{acq_cls.__name__}: stabilized argmax {am} vs ref {ref}"
+        )
 
 
 def test_mes_matches_oracle_on_real_chain(fitted_gp):
