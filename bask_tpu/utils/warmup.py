@@ -17,6 +17,7 @@ feed static chain lengths and draw counts.
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterable
 
 import numpy as np
@@ -93,14 +94,22 @@ def warmup_optimizer(
         pts = opt.space.inverse_transform(X)
         clone.gp_sample_kwargs = cold_kwargs
         try:
-            clone.tell(
-                pts,
-                list(y),
-                replace=True,
-                n_samples=n_samples,
-                gp_samples=gp_samples,
-                gp_burnin=gp_burnin,
-            )
+            with warnings.catch_warnings():
+                # the cold tell's until_rhat budget is 1 leg BY DESIGN
+                # (compile the extension program, don't converge a
+                # throwaway synthetic posterior) — its non-convergence
+                # warning is meaningless here and would alarm users
+                warnings.filterwarnings(
+                    "ignore", message=".*did not reach R-hat.*"
+                )
+                clone.tell(
+                    pts,
+                    list(y),
+                    replace=True,
+                    n_samples=n_samples,
+                    gp_samples=gp_samples,
+                    gp_burnin=gp_burnin,
+                )
         finally:
             clone.gp_sample_kwargs = warm_kwargs
         # one more point inside the same bucket drives the WARM tell —

@@ -56,6 +56,30 @@ def test_warmup_precompiles_tell_path():
     assert bg._pack_fetch._cache_size() == sizes["pack"]
 
 
+def test_warmup_is_silent_on_throwaway_convergence():
+    """The warmup's compile-priming cold tell runs exactly one
+    until_rhat extension leg by design; its (meaningless) budget
+    warning on the synthetic throwaway posterior must not surface."""
+    import warnings
+
+    opt = Optimizer(
+        dimensions=[(0.0, 1.0), (0.0, 1.0)],
+        n_points=32,
+        n_initial_points=2,
+        init_strategy="random",
+        acq_func="ei",
+        random_state=1,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        warnings.filterwarnings(  # unrelated guards may still fire
+            "default", message="(?!.*did not reach R-hat).*"
+        )
+        warmup_optimizer(
+            opt, n_observations=(2,), gp_samples=20, gp_burnin=2, n_samples=3
+        )
+
+
 def test_warmup_covers_move_mixture_programs():
     """A demix loop (gp_sample_kwargs / BayesGPR(moves=)) must be
     warmed with the MIXTURE chain program — the moves tuple is a jit
