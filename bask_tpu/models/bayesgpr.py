@@ -314,6 +314,52 @@ def _init_chain_state(
 
 @partial(
     jax.jit,
+    static_argnames=("kernel", "priors", "n_warp"),
+)
+def _log_post_hessian(data, x0, *, kernel, priors, n_warp):
+    """Kernel-theta Hessian of the log posterior at ``x0`` for the
+    Laplace chain init. Differentiates the PLAIN XLA Cholesky (the
+    ML-II rationale squared: second-order reverse through the blocked
+    Newton-Schulz path would compile an enormous graph), and builds the
+    (Dg, Dg) matrix as Dg sequential Hessian-vector products under
+    ``lax.map`` — peak memory is ONE reverse graph, not Dg of them, so
+    the init never dominates the fit's own footprint at large n.
+
+    Warp parameters are held FIXED at ``x0``'s warp slice (JAX's
+    ``betainc`` has no a/b derivatives, so curvature across the warp
+    dims is not computable); the caller gives those dims the ball
+    width instead."""
+    n_theta = x0.shape[0] - 2 * n_warp
+    if n_warp:
+        _, la, lb = wp.split_warp_params(x0, n_warp)
+        d = data._replace(X=wp.warp(data.X, la, lb))
+    else:
+        d = data
+
+    def scalar(tg):
+        return _eval_priors(priors, tg) - _neg_lml_plain(kernel, tg, d)
+
+    g = jax.grad(scalar)
+    x0g = x0[:n_theta]
+
+    def hvp(v):
+        return jax.jvp(g, (x0g,), (v,))[1]
+
+    eye = jnp.eye(n_theta, dtype=x0.dtype)
+    return jax.lax.map(hvp, eye)
+
+
+# Laplace-init spread guards (log-space hyperparameters): directions
+# with vanishing or negative curvature at the ML point (flat LML ridges,
+# prior-dominated warp dims) are capped at an overdispersed-but-finite
+# std; the floor keeps the historical 1e-2 ball as the lower bound so a
+# razor-sharp mode still gets a non-degenerate ensemble.
+_LAPLACE_STD_MAX = 2.0
+_LAPLACE_STD_MIN = 1e-2
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "kernel", "priors", "warp_prior", "n_warp", "a", "mesh", "row_cfg",
         "moves",
@@ -985,6 +1031,8 @@ class BayesGPR:
         row_unroll: bool = False,
         row_grad_method: str = "adjoint",
         moves="auto",
+        chain_init: str = "ball",
+        ml2_subsample: Optional[int] = None,
     ):
         if kernel is None:
             kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
@@ -1030,6 +1078,36 @@ class BayesGPR:
         # chain (bit-stable). Normalized eagerly to a hashable tuple —
         # it rides the jitted chain programs as a static argument.
         self.moves = _canonical_moves(moves)
+        # cold-chain walker init: "ball" = the reference/emcee tiny ball
+        # at the ML-II point (1e-2 sigma; the ensemble then spends its
+        # first ~1000 steps EXPANDING to posterior scale — the measured
+        # transient of the convergence ladders); "laplace" = draw from
+        # N(theta_ML, H^-1) with per-direction spread clamped to
+        # [1e-2, 2.0], so DE difference vectors are posterior-sized from
+        # step 0. Falls back to the ball when the curvature is unusable
+        # (non-finite Hessian) or in row-sharded mode.
+        if chain_init not in ("ball", "laplace"):
+            raise ValueError(
+                f"chain_init must be 'ball' or 'laplace', got {chain_init!r}"
+            )
+        self.chain_init = chain_init
+        # huge-n escape hatch for the ML-II warm start: when set and the
+        # training set is larger, the warm start optimizes the LML of a
+        # random ``ml2_subsample``-point subset through the FAST DENSE
+        # path (hyperparameter estimates off 8k points are plenty for a
+        # chain-initialization theta; the reference itself uses only "a
+        # few" L-BFGS iterations, bask/bayesgpr.py:78-79). Measured
+        # motivation: the row-sharded value+grad at n=32768 on ONE 16 GB
+        # chip holds ~3 full-width gram strips (12 GB + fragmentation =
+        # OOM); the chain itself fits fine. The MCMC ALWAYS runs on the
+        # full data — only the warm start subsamples.
+        if ml2_subsample is not None and int(ml2_subsample) < 2:
+            raise ValueError(
+                f"ml2_subsample must be >= 2 points, got {ml2_subsample}"
+            )
+        self.ml2_subsample = (
+            None if ml2_subsample is None else int(ml2_subsample)
+        )
         if isinstance(random_state, np.random.RandomState):
             self.random_state = random_state
         else:
@@ -1192,6 +1270,8 @@ class BayesGPR:
         state.setdefault("row_grad_method", "adjoint")
         state.setdefault("moves", None)
         state.setdefault("_pending", None)
+        state.setdefault("chain_init", "ball")
+        state.setdefault("ml2_subsample", None)
         self.__dict__.update(state)
 
     def _set_data(self, X, y, noise_vector):
@@ -1213,15 +1293,18 @@ class BayesGPR:
         self._noise_vector = noise_vector
         self._upload()
 
-    def _upload(self):
-        """(Re)build the padded device-side GPData."""
-        n, d = self._X_orig.shape
+    def _build_padded_data(self, X, y, noise_rows=None):
+        """Padded dense ``GPData`` from raw rows, using the estimator's
+        normalization / alpha-floor / 64-bucket conventions. ``y`` is
+        raw (unnormalized); ``noise_rows`` is an optional per-row
+        pre-scaled noise-variance add-on."""
+        n, d = X.shape
         n_pad = _bucket(n)
         dt = self._dtype()
         Xp = np.full((n_pad, d), 0.5)
-        Xp[:n] = self._X_orig
+        Xp[:n] = X
         yp = np.zeros(n_pad)
-        yp[:n] = (self._y_orig - self.y_train_mean_) / self.y_train_std_
+        yp[:n] = (y - self.y_train_mean_) / self.y_train_std_
         # float32 cannot represent the reference's 1e-10 jitter against a
         # unit-scale gram; floor it so near-noise-free problems factor
         # instead of rejecting every MCMC move
@@ -1229,18 +1312,28 @@ class BayesGPR:
         if dt == jnp.float32:
             base_alpha = max(base_alpha, 1e-6)
         alpha = np.full(n_pad, base_alpha, dtype=float)
-        if self._noise_vector is not None:
-            nv = np.zeros(n)
-            nv[: len(self._noise_vector)] += self._noise_vector
-            alpha[:n] += nv
+        if noise_rows is not None:
+            alpha[:n] += noise_rows
         mask = np.arange(n_pad) < n
-        self._data = gpc.make_data(
+        return gpc.make_data(
             jnp.asarray(Xp, dtype=dt),
             jnp.asarray(yp, dtype=dt),
             jnp.asarray(alpha, dtype=dt),
             jnp.asarray(mask),
             y_mean=self.y_train_mean_,
             y_std=self.y_train_std_,
+        )
+
+    def _upload(self):
+        """(Re)build the padded device-side GPData."""
+        n = self._X_orig.shape[0]
+        noise_rows = None
+        if self._noise_vector is not None:
+            nv = np.zeros(n)
+            nv[: len(self._noise_vector)] += self._noise_vector
+            noise_rows = nv
+        self._data = self._build_padded_data(
+            self._X_orig, self._y_orig, noise_rows
         )
 
     def _refresh_posterior(self, with_lml: bool = True):
@@ -1308,6 +1401,29 @@ class BayesGPR:
         data = self._data
         bounds = kernel.bounds
         dt = self._dtype()
+        row_cfg = self._row_cfg()
+
+        n = self._X_orig.shape[0]
+        if self.ml2_subsample is not None and n > self.ml2_subsample:
+            # warm start on a random subset through the FAST DENSE path
+            # (constructor docstring has the measured motivation: the
+            # full-n row-sharded value+grad OOMs one chip at n=32768
+            # while the chain itself fits). The subset shares the FULL
+            # data's y-normalization so the optimized theta transfers.
+            idx = np.sort(
+                self.random_state.choice(
+                    n, size=self.ml2_subsample, replace=False
+                )
+            )
+            noise_rows = None
+            if self._noise_vector is not None:
+                nv = np.zeros(n)
+                nv[: len(self._noise_vector)] += self._noise_vector
+                noise_rows = nv[idx]
+            data = self._build_padded_data(
+                self._X_orig[idx], self._y_orig[idx], noise_rows
+            )
+            row_cfg = None
 
         starts = [kernel.theta0]
         for _ in range(self.n_restarts_optimizer):
@@ -1320,7 +1436,7 @@ class BayesGPR:
                 np.isfinite(bounds).all()
                 and (bounds[:, 1] > bounds[:, 0]).all()
             )
-            if ok_bounds and self.row_mesh is not None:
+            if ok_bounds and row_cfg is not None:
                 # whole optimization on device; gradients come from the
                 # distributed sweep (custom VJP, row_grad_method), so no
                 # (n_pad, n_pad) factor is ever materialized
@@ -1330,7 +1446,7 @@ class BayesGPR:
                     jnp.asarray(bounds[:, 0], dtype=dt),
                     jnp.asarray(bounds[:, 1], dtype=dt),
                     kernel=kernel,
-                    row_cfg=self._row_cfg(),
+                    row_cfg=row_cfg,
                     maxiter=60,
                     grad_method=self.row_grad_method,
                 )
@@ -1358,8 +1474,6 @@ class BayesGPR:
                 return np.asarray(best, dtype=float)
 
         from scipy.optimize import minimize
-
-        row_cfg = self._row_cfg()
 
         def obj(t):
             if row_cfg is not None:
@@ -1524,6 +1638,66 @@ class BayesGPR:
                 _INTERP_PRIOR_CACHE.popitem(last=False)
         return interp
 
+    def _laplace_positions(self, theta, n_walkers, priors, n_warp):
+        """(W, D) cold-start walker positions from the Laplace
+        approximation ``N(theta, H^-1)`` at the ML-II point, or ``None``
+        when the curvature is unusable (caller falls back to the
+        reference's 1e-2 ball, ``bask/bayesgpr.py:432-434`` semantics).
+
+        Per-direction spreads (eigenbasis of the negative log-posterior
+        Hessian over the kernel-theta block) are clamped to
+        ``[_LAPLACE_STD_MIN, _LAPLACE_STD_MAX]``: flat/negative-
+        curvature directions get an overdispersed-but-finite std
+        instead of an unbounded one, razor-sharp modes keep at least
+        the historical ball width. Warp dims (no computable betainc
+        a/b curvature) keep the ball width. Rationale: the ball start
+        spends the chain's first ~1000 steps EXPANDING the ensemble to
+        posterior scale (the measured transient of every convergence
+        ladder); a curvature-scaled start gives the DE moves
+        posterior-sized, correlation-aligned difference vectors from
+        step 0."""
+        theta = np.asarray(theta, dtype=float)
+        n_theta = theta.shape[0] - 2 * n_warp
+        dt = self._dtype()
+        try:
+            H = np.asarray(
+                _log_post_hessian(
+                    self._data,
+                    jnp.asarray(theta, dtype=dt),
+                    kernel=self._spec,
+                    priors=priors,
+                    n_warp=n_warp,
+                ),
+                dtype=float,
+            )
+        except Exception as e:  # host-callback priors etc. — fall back
+            warnings.warn(
+                f"chain_init='laplace' could not evaluate the "
+                f"log-posterior Hessian ({type(e).__name__}: {e}); "
+                "falling back to the ball init.",
+                UserWarning,
+                stacklevel=3,
+            )
+            return None
+        if not np.all(np.isfinite(H)):
+            return None
+        prec = -0.5 * (H + H.T)  # symmetrized negative Hessian
+        w, V = np.linalg.eigh(prec)
+        with np.errstate(divide="ignore"):
+            std = np.where(w > 0, 1.0 / np.sqrt(np.abs(w) + 1e-300), np.inf)
+        std = np.clip(std, _LAPLACE_STD_MIN, _LAPLACE_STD_MAX)
+        z = self.random_state.randn(n_walkers, theta.shape[0])
+        pos = np.empty((n_walkers, theta.shape[0]))
+        pos[:, :n_theta] = theta[None, :n_theta] + (
+            z[:, :n_theta] * std[None, :]
+        ) @ V.T
+        if n_warp:
+            pos[:, n_theta:] = (
+                theta[None, n_theta:]
+                + _LAPLACE_STD_MIN * z[:, n_theta:]
+            )
+        return pos
+
     def sample(
         self,
         X=None,
@@ -1545,6 +1719,7 @@ class BayesGPR:
         until_rhat: Optional[float] = None,
         max_extensions: int = 10,
         extension_steps: Optional[int] = None,
+        chain_init: Optional[str] = None,
         _defer_fetch: bool = False,
         _consensus: bool = True,
         **kwargs,
@@ -1618,6 +1793,17 @@ class BayesGPR:
         per leg, so pass something real (the hardware-validated chunk
         is 300; bench.py / BASELINE.md round-4) whenever the base run
         is short.
+
+        ``chain_init``: cold-start walker placement when no warm
+        ensemble exists — ``None`` defers to the constructor's
+        ``chain_init`` ("ball" by default: the reference's 1e-2 ball at
+        the ML-II point, ``bask/bayesgpr.py:432-434``); ``"laplace"``
+        draws the ensemble from the Laplace approximation
+        ``N(theta_ML, H^-1)`` (clamped per-direction spreads) so the
+        walkers start at posterior scale instead of expanding a tiny
+        ball through the first ~1000 steps. Ignored on warm starts and
+        with an explicit ``position``; falls back to the ball when the
+        curvature is unusable or in row-sharded mode.
         """
         # a stale result from an earlier until_rhat run must not
         # re-trigger Optimizer.tell()'s convergence warning for a refit
@@ -1651,6 +1837,7 @@ class BayesGPR:
                 # the extension loop owns the convergence verdict; the
                 # per-leg guard would fire spuriously on partial chains
                 warn_rhat=None,
+                chain_init=chain_init,
                 **kwargs,
             )
 
@@ -1813,9 +2000,26 @@ class BayesGPR:
                 theta[bad] = fill
             if n_warp:
                 theta = np.concatenate([theta, np.zeros(2 * n_warp)])
-            pos = theta[None, :] + 1e-2 * self.random_state.randn(
-                n_walkers, n_dim
-            )
+            ci = self.chain_init if chain_init is None else chain_init
+            if ci not in ("ball", "laplace"):
+                raise ValueError(
+                    f"chain_init must be 'ball' or 'laplace', got {ci!r}"
+                )
+            pos = None
+            if ci == "laplace" and row_cfg is None:
+                # posterior-curvature-scaled cold start; None (unusable
+                # Hessian) falls through to the reference ball. Drawn
+                # AFTER the finite checks so the RNG stream is
+                # deterministic per outcome. Row-sharded mode keeps the
+                # ball: the plain dense Hessian path would materialize
+                # the (n, n) gram this mode exists to avoid.
+                pos = self._laplace_positions(
+                    theta, n_walkers, priors, n_warp
+                )
+            if pos is None:
+                pos = theta[None, :] + 1e-2 * self.random_state.randn(
+                    n_walkers, n_dim
+                )
 
         dt = self._dtype()
         key = jax.random.PRNGKey(self.random_state.randint(0, 2**31 - 1))

@@ -213,6 +213,10 @@ def _gpr_state(gp) -> dict:
         # constructor-default move mixture (jit static; a resumed
         # optimizer must keep sampling with the same moves)
         "moves": getattr(gp, "moves", None),
+        # cold-chain init policy (round 5: "ball" | "laplace")
+        "chain_init": getattr(gp, "chain_init", "ball"),
+        # huge-n ML-II warm-start subsample size (round 5)
+        "ml2_subsample": getattr(gp, "ml2_subsample", None),
     }
     for name in ("chain_", "chain_steps_", "pos_", "warp_alphas_", "warp_betas_", "_theta"):
         v = getattr(gp, name)
@@ -241,6 +245,8 @@ def _restore_gpr(gp, meta, arrays):
         # json round-trips the tuples as lists; re-canonicalize so the
         # restored value stays a hashable jit static
         gp.moves = _canonical_moves(meta["moves"])
+    gp.chain_init = meta.get("chain_init", "ball")
+    gp.ml2_subsample = meta.get("ml2_subsample", None)
     gp.noise_ = meta["noise_"]
     gp.log_marginal_likelihood_value_ = meta["lml_value"]
     if meta["kernel_fitted"] is not None:

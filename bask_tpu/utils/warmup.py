@@ -57,6 +57,8 @@ def warmup_optimizer(
             # the move mixture is a jit static: a demix loop warmed
             # with the stretch program would stall on a mid-run compile
             moves=opt.gp.moves,
+            # laplace cold init adds a Hessian program — precompile it
+            chain_init=getattr(opt.gp, "chain_init", "ball"),
         ),
         gp_priors=opt.gp_priors,
         acq_func=opt.acq_func,

@@ -100,11 +100,21 @@ def main():
     dt = data.X.dtype
     theta = jnp.asarray(gp._theta, dtype=dt)
 
-    # identical dispersed start for every variant
-    k0 = jax.random.PRNGKey(7)
-    pos0 = theta[None, :] + 0.1 * jax.random.normal(
-        k0, (W, theta.shape[0]), dtype=dt
-    )
+    # identical dispersed start for every variant; BENCH_INIT=laplace
+    # swaps in the curvature-scaled cold start (round 5) — the A/B for
+    # the chain_init="laplace" feature
+    if os.environ.get("BENCH_INIT") == "laplace":
+        gp.random_state = np.random.RandomState(7)
+        pos_np = gp._laplace_positions(
+            np.asarray(gp._theta), W, priors, 0
+        )
+        assert pos_np is not None, "laplace init unusable on this posterior"
+        pos0 = jnp.asarray(pos_np, dtype=dt)
+    else:
+        k0 = jax.random.PRNGKey(7)
+        pos0 = theta[None, :] + 0.1 * jax.random.normal(
+            k0, (W, theta.shape[0]), dtype=dt
+        )
 
     # step-fn statics: thread moves through the chunked runner
     state = _init_chain_state(
