@@ -538,10 +538,9 @@ def _canonical_moves(moves):
 _MOVE_ALIASES = {
     "demix": (("de", 0.8), ("snooker", 0.2)),
     "tri": (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
-    # DREAM-style subspace-crossover DE in place of full-dimension DE:
-    # in D >~ 10 the crossover subspace lets per-coordinate jumps grow
-    # by sqrt(D/d') at equal acceptance (parallel/mcmc.de_cr_step)
-    "dream": (("de_cr", 0.8), ("snooker", 0.2)),
+    # a "dream" alias (DREAM-style subspace-crossover DE) existed during
+    # round 5 and was REJECTED by measurement — see parallel/mcmc.py
+    # note + the BASELINE.md round-5 ladder
 }
 
 

@@ -35,7 +35,6 @@ __all__ = [
     "run_ensemble",
     "stretch_step",
     "de_step",
-    "de_cr_step",
     "snooker_step",
     "make_step_fn",
     "validate_walker_count",
@@ -231,100 +230,6 @@ def _snooker_half_update(
     return new_active, new_lp, jnp.sum(accept).astype(jnp.int32)
 
 
-def _de_cr_half_update(
-    log_prob_fn, active, lp_active, other, key, sigma, full
-):
-    """Subspace-crossover DE update of ``active`` against ``other``
-    (DREAM's crossover scheme, Vrugt et al. 2009 — the standard high-D
-    accelerator on top of ter Braak DE).
-
-    Each walker draws a per-dimension Bernoulli(CR) mask with CR itself
-    drawn uniformly from {1/3, 2/3, 1} per walker per step (at least one
-    dimension is always forced on), and proposes only in the masked
-    subspace with the optimal-scaling factor re-sized to the ACTIVE
-    dimension count: gamma(d') = 2.38/sqrt(2 d'). In D ~ 15-20 a
-    full-dimension DE step must shrink gamma ∝ 1/sqrt(D) to stay
-    accepted; subspace moves take sqrt(D/d')-times larger per-coordinate
-    jumps at the same acceptance, which is where the mixing win comes
-    from. The mask and anchors are drawn independently of position and
-    the (j, k) pair is exchangeable, so the proposal stays symmetric and
-    the acceptance factor is the bare posterior ratio. ``full`` (the
-    mode-jump branch) forces the full-dimension mask with gamma = 1 —
-    subspace jumps would land between modes.
-    """
-    h, D = active.shape
-    k_j, k_k, k_cr, k_mask, k_dim, k_eps, k_accept = jax.random.split(key, 7)
-    c = other.shape[0]
-    j = jax.random.randint(k_j, (h,), 0, c)
-    k2 = jax.random.randint(k_k, (h,), 0, c - 1)
-    k2 = k2 + (k2 >= j)
-    diff = other[j] - other[k2]
-    # CR in {1/3, 2/3, 1}: the DREAM default set for nCR=3
-    cr = (1.0 + jax.random.randint(k_cr, (h,), 0, 3)) / 3.0
-    mask = (
-        jax.random.uniform(k_mask, (h, D), dtype=active.dtype)
-        < cr[:, None].astype(active.dtype)
-    )
-    # force at least one active dimension (an empty mask proposes x
-    # itself: wasted step, and gamma(0) would divide by zero)
-    forced = jax.nn.one_hot(
-        jax.random.randint(k_dim, (h,), 0, D), D, dtype=jnp.bool_
-    )
-    mask = jnp.logical_or(mask, forced)
-    mask = jnp.where(full, jnp.ones_like(mask), mask)
-    d_act = jnp.sum(mask, axis=1).astype(active.dtype)
-    g = jnp.where(
-        full,
-        jnp.asarray(1.0, active.dtype),
-        jnp.asarray(2.38, active.dtype) / jnp.sqrt(2.0 * d_act),
-    )
-    eps = sigma * jax.random.normal(k_eps, (h, D), dtype=active.dtype)
-    step = g[:, None] * diff + eps
-    prop = active + jnp.where(mask, step, 0.0)
-    lp_prop = log_prob_fn(prop)
-    accept = (
-        jnp.log(jax.random.uniform(k_accept, (h,), dtype=active.dtype))
-        < lp_prop - lp_active
-    )
-    new_active = jnp.where(accept[:, None], prop, active)
-    new_lp = jnp.where(accept, lp_prop, lp_active)
-    return new_active, new_lp, jnp.sum(accept).astype(jnp.int32)
-
-
-def de_cr_step(
-    log_prob_fn: Callable,
-    state: EnsembleState,
-    key,
-    sigma: float = 1e-5,
-    jump_prob: float = 0.1,
-) -> EnsembleState:
-    """One full subspace-crossover DE ensemble step (both halves).
-
-    With probability ``jump_prob`` the step is a full-dimension
-    gamma = 1 mode jump (as in :func:`de_step`); otherwise each walker
-    moves in its own random crossover subspace.
-    """
-    W, D = state.pos.shape
-    half = W // 2
-    k_jump, k0, k1 = jax.random.split(key, 3)
-    full = jax.random.bernoulli(k_jump, jump_prob)
-
-    first, second = state.pos[:half], state.pos[half:]
-    lp_first, lp_second = state.log_prob[:half], state.log_prob[half:]
-
-    first, lp_first, acc0 = _de_cr_half_update(
-        log_prob_fn, first, lp_first, second, k0, sigma, full
-    )
-    second, lp_second, acc1 = _de_cr_half_update(
-        log_prob_fn, second, lp_second, first, k1, sigma, full
-    )
-    return EnsembleState(
-        pos=jnp.concatenate([first, second]),
-        log_prob=jnp.concatenate([lp_first, lp_second]),
-        accepted=state.accepted + acc0 + acc1,
-    )
-
-
 def snooker_step(
     log_prob_fn: Callable,
     state: EnsembleState,
@@ -355,14 +260,20 @@ def snooker_step(
     )
 
 
-_MOVE_NAMES = ("stretch", "de", "de_cr", "snooker")
+# NOTE: a DREAM-style subspace-crossover DE move ("de_cr") was built and
+# REJECTED by measurement in round 5: on the real bimodal 17-D
+# north-star posterior, subspace-masked difference vectors cannot carry
+# walkers back across modes — de_cr+snooker mixtures split the ensemble
+# (R-hat pinned at 5-7 after 4800 steps vs demix's 1.095; BASELINE.md
+# round-5 ladder). Cut per the wins-or-cut bar.
+_MOVE_NAMES = ("stretch", "de", "snooker")
 
 # each move draws its anchors from the COMPLEMENTARY half without
 # replacement: stretch needs 1, DE 2, snooker 3 distinct walkers there —
 # below these minima jax.random.randint gets an empty range
 # (maxval <= minval) and returns implementation-defined indices, i.e. a
 # silently corrupt chain instead of an error
-_MIN_WALKERS = {"stretch": 2, "de": 4, "de_cr": 4, "snooker": 6}
+_MIN_WALKERS = {"stretch": 2, "de": 4, "snooker": 6}
 
 
 def validate_walker_count(n_walkers, moves):
@@ -425,8 +336,6 @@ def make_step_fn(log_prob_fn: Callable, a: float = 2.0, moves=None):
             return lambda s, kk: stretch_step(log_prob_fn, s, kk, a=a)
         if name == "de":
             return lambda s, kk: de_step(log_prob_fn, s, kk)
-        if name == "de_cr":
-            return lambda s, kk: de_cr_step(log_prob_fn, s, kk)
         return lambda s, kk: snooker_step(log_prob_fn, s, kk)
 
     names, weights = _normalize_moves(moves)

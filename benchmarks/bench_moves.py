@@ -37,13 +37,9 @@ SPECS = {
     # stretch for local mixing + DE/snooker for covariance adaptation
     # and mode hopping
     "tri": (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
-    # round-5 candidates: DREAM-style subspace-crossover DE — in high D
-    # the crossover mask lets per-coordinate jumps grow by sqrt(D/d')
-    # at equal acceptance (parallel/mcmc.de_cr_step)
-    "decr": (("de_cr", 1.0),),
-    "dream": (("de_cr", 0.8), ("snooker", 0.2)),
-    "dream9": (("de_cr", 0.9), ("snooker", 0.1)),
-    "dreammix": (("de", 0.4), ("de_cr", 0.4), ("snooker", 0.2)),
+    # round-5 DREAM-crossover candidates (decr/dream/dream9/dreammix)
+    # were measured here on 2026-08-20 and REJECTED — the de_cr move is
+    # deleted; ladder numbers preserved in BASELINE.md round-5 section
 }
 
 

@@ -33,10 +33,9 @@ run python examples/production_loop.py
 # 3) Sampler ladder on the REAL north-star posterior (VERDICT r4 #2):
 #    DREAM subspace-crossover candidates vs the demix control, same
 #    session, 1200-step warm chunks, stop at R-hat<1.1.
-run env BENCH_MAX_STEPS=4800 python benchmarks/bench_moves.py dream
+# (ran 2026-08-20: dream/dream9/decr measured and REJECTED — de_cr
+# deleted; demix ladder kept runnable)
 run env BENCH_MAX_STEPS=4800 python benchmarks/bench_moves.py demix
-run env BENCH_MAX_STEPS=4800 python benchmarks/bench_moves.py dream9
-run env BENCH_MAX_STEPS=4800 python benchmarks/bench_moves.py decr
 # 4) Gradient-polish regret A/B on Hartmann-6 (VERDICT r4 #3): equal
 #    seeds per arm, per-iteration wall-clock for the equal-time read.
 run python benchmarks/bench_polish.py grid 4

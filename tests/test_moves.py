@@ -26,10 +26,8 @@ def _corr_gauss_lp():
     "moves",
     [
         (("de", 1.0),),
-        (("de_cr", 1.0),),
         (("snooker", 1.0),),
         (("de", 0.8), ("snooker", 0.2)),
-        (("de_cr", 0.8), ("snooker", 0.2)),
         (("stretch", 0.5), ("de", 0.4), ("snooker", 0.1)),
     ],
 )
@@ -44,30 +42,6 @@ def test_moves_recover_correlated_gaussian(moves):
     np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.35)
     rate = float(final.accepted) / (4000 * 64)
     assert 0.05 < rate < 0.95
-
-
-def test_de_cr_recovers_anisotropic_gaussian():
-    """Subspace-crossover DE (DREAM crossover) must sample an 8-D
-    anisotropic Gaussian correctly: the per-walker crossover masks and
-    the gamma(d') re-scaling are position-independent, so the proposal
-    stays symmetric — a broken mask/acceptance coupling would bias the
-    marginal variances, which this pins."""
-    scales = jnp.asarray([0.5, 1.0, 2.0, 0.25, 1.5, 0.75, 3.0, 1.0])
-
-    def lp(x):
-        return -0.5 * jnp.sum((x / scales) ** 2, axis=-1)
-
-    pos0 = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (64, 8))
-    chain, final = mcmc.run_ensemble(
-        lp, pos0, jax.random.PRNGKey(6), 6000, moves=(("de_cr", 1.0),)
-    )
-    flat = np.asarray(mcmc.flatten_chain(chain, discard=2000))
-    np.testing.assert_allclose(flat.mean(axis=0), np.zeros(8), atol=0.25)
-    np.testing.assert_allclose(
-        flat.std(axis=0), np.asarray(scales), rtol=0.15
-    )
-    rate = float(final.accepted) / (6000 * 64)
-    assert 0.1 < rate < 0.9
 
 
 def test_default_path_bit_stable_against_explicit_none():
