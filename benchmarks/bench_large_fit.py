@@ -74,6 +74,11 @@ def main():
         kw = dict(row_mesh=mesh, row_nb=512, row_unroll=N <= 8192)
         if N >= 32768:
             kw["row_grad_method"] = "jvp"  # leanest peak memory
+            # the FULL-n row value+grad holds ~3 gram strips (~12 GB) —
+            # measured OOM on one 16 GB chip (r5 queue, 2026-08-20);
+            # the warm start only seeds the chain, so optimize it on a
+            # dense 8k subset and keep the chain full + row-sharded
+            kw["ml2_subsample"] = 8192
     # n>=16384: the one-program device L-BFGS (60 iters x sweep+adjoint
     # in a single scan) crashed the tunnel worker (2026-08-19, r4b run;
     # the long-program class of CLAUDE.md gotcha 9). The host driver

@@ -67,6 +67,10 @@ def main():
     from bask_tpu import Optimizer, warmup_optimizer
 
     n_iters = int(os.environ.get("BENCH_ITERS", "50"))
+    # round-5 widening: the first A/B (2026-08-20) ran EI; BENCH_ACQ
+    # swaps the acquisition so the default-flip decision rests on more
+    # than one surface (pvrs exercises the full-GP score path)
+    acq = os.environ.get("BENCH_ACQ", "ei")
     n_init = 10
     polish_kw = {}
     if arm == "polish":
@@ -80,7 +84,7 @@ def main():
             dimensions=[(0.0, 1.0)] * 6,
             n_points=500,
             n_initial_points=n_init,
-            acq_func="ei",
+            acq_func=acq,
             random_state=seed,
             **polish_kw,
         )
@@ -109,7 +113,7 @@ def main():
         iter_meds.append(float(np.median(times[n_init + 2:])))
         traces.append(trace)
         print(
-            f"{arm} seed={seed}: final regret {trace[-1]:.4f}, "
+            f"{arm}[{acq}] seed={seed}: final regret {trace[-1]:.4f}, "
             f"median warm iter {iter_meds[-1]:.3f}s, "
             f"total {sum(times):.1f}s",
             flush=True,
@@ -121,7 +125,7 @@ def main():
         )
 
     print(
-        f"RESULT {arm}: median final regret "
+        f"RESULT {arm}[{acq}]: median final regret "
         f"{float(np.median(finals)):.4f} "
         f"(per-seed {[round(f, 4) for f in finals]}), "
         f"median warm iter {float(np.median(iter_meds)):.3f}s"
