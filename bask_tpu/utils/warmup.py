@@ -70,6 +70,12 @@ def warmup_optimizer(
         mesh=getattr(opt, "mesh", None),
         # per-refit sampler overrides (moves=, a=) are jit statics too
         gp_sample_kwargs=getattr(opt, "gp_sample_kwargs", {}),
+        # the polish ascent is its own jitted program set (n_steps/lr
+        # are statics) — a polished loop warmed without it would stall
+        # on a mid-run compile at the first real tell
+        acq_polish=getattr(opt, "acq_polish", 0),
+        acq_polish_starts=getattr(opt, "acq_polish_starts", 4),
+        acq_polish_lr=getattr(opt, "acq_polish_lr", 0.05),
     )
     if "until_rhat" not in clone.gp_sample_kwargs:
         # the default convergence-honest COLD fit warm-extends the chain

@@ -80,6 +80,41 @@ def test_warmup_is_silent_on_throwaway_convergence():
         )
 
 
+def test_warmup_covers_polish_programs():
+    """A polished loop (Optimizer(acq_polish=)) must be warmed with the
+    polish ascent programs — n_steps/lr are jit statics, so an
+    unpolished warmup would stall the first real tell on a compile."""
+    from bask_tpu import acquisition as acq_mod
+
+    opt = Optimizer(
+        dimensions=[(0.0, 1.0)],
+        n_points=32,
+        n_initial_points=2,
+        init_strategy="random",
+        acq_func="ei",
+        random_state=1,
+        acq_polish=3,
+        acq_polish_starts=2,
+    )
+    warmup_optimizer(
+        opt, n_observations=(2, 3), gp_samples=20, gp_burnin=2, n_samples=3
+    )
+    n_polish = acq_mod._polish_marginal_vals._cache_size()
+    assert n_polish > 0  # the warmup actually exercised the polish
+
+    rng = np.random.RandomState(0)
+    for _ in range(2):
+        x = opt.ask()
+        opt.tell(
+            x,
+            float(np.sin(3 * x[0]) + 0.05 * rng.randn()),
+            n_samples=3,
+            gp_samples=20,
+            gp_burnin=2,
+        )
+    assert acq_mod._polish_marginal_vals._cache_size() == n_polish
+
+
 def test_warmup_covers_move_mixture_programs():
     """A demix loop (gp_sample_kwargs / BayesGPR(moves=)) must be
     warmed with the MIXTURE chain program — the moves tuple is a jit
