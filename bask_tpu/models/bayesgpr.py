@@ -312,6 +312,47 @@ def _init_chain_state(
     return init_ensemble(log_prob, pos)
 
 
+def _theta_block_logpost(data, x0, kernel, priors, n_warp):
+    """Shared scalar for the Laplace-init jits: the log posterior as a
+    function of the KERNEL-THETA block, with warp parameters held FIXED
+    at ``x0``'s warp slice (JAX's ``betainc`` has no a/b derivatives,
+    so neither gradients nor curvature across the warp dims are
+    computable — the caller gives those dims the ball width instead).
+    Returns ``(scalar_fn, x0_theta_block)``."""
+    n_theta = x0.shape[0] - 2 * n_warp
+    if n_warp:
+        _, la, lb = wp.split_warp_params(x0, n_warp)
+        d = data._replace(X=wp.warp(data.X, la, lb))
+    else:
+        d = data
+
+    def scalar(tg):
+        # CLAUDE.md rule 5 squared: the SECOND-order graph through the
+        # Cholesky (solve-triangular transposes, quadratic forms) runs
+        # at TPU default bf16 passes and produced a non-finite Hessian
+        # on v5e-1 where CPU f32 was fine (measured 2026-08-20, r5b
+        # queue) — trace every matmul in this one-off program at
+        # HIGHEST
+        with jax.default_matmul_precision("highest"):
+            return _eval_priors(priors, tg) - _neg_lml_plain(kernel, tg, d)
+
+    return scalar, x0[:n_theta]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "priors", "n_warp"),
+)
+def _log_post_value_grad(data, x0, *, kernel, priors, n_warp):
+    """Packed ``[-log posterior, d(-log posterior)/d theta]`` over the
+    kernel-theta block at ``x0`` — drives the host L-BFGS MAP
+    refinement of the Laplace-init center (one device fetch per
+    step, like the ML-II host driver)."""
+    scalar, x0g = _theta_block_logpost(data, x0, kernel, priors, n_warp)
+    v, g = jax.value_and_grad(lambda t: -scalar(t))(x0g)
+    return jnp.concatenate([v[None], g])
+
+
 @partial(
     jax.jit,
     static_argnames=("kernel", "priors", "n_warp"),
@@ -323,38 +364,25 @@ def _log_post_hessian(data, x0, *, kernel, priors, n_warp):
     Newton-Schulz path would compile an enormous graph), and builds the
     (Dg, Dg) matrix as Dg sequential Hessian-vector products under
     ``lax.map`` — peak memory is ONE reverse graph, not Dg of them, so
-    the init never dominates the fit's own footprint at large n.
-
-    Warp parameters are held FIXED at ``x0``'s warp slice (JAX's
-    ``betainc`` has no a/b derivatives, so curvature across the warp
-    dims is not computable); the caller gives those dims the ball
-    width instead."""
-    n_theta = x0.shape[0] - 2 * n_warp
-    if n_warp:
-        _, la, lb = wp.split_warp_params(x0, n_warp)
-        d = data._replace(X=wp.warp(data.X, la, lb))
-    else:
-        d = data
-
-    def scalar(tg):
-        return _eval_priors(priors, tg) - _neg_lml_plain(kernel, tg, d)
-
+    the init never dominates the fit's own footprint at large n."""
+    scalar, x0g = _theta_block_logpost(data, x0, kernel, priors, n_warp)
     g = jax.grad(scalar)
-    x0g = x0[:n_theta]
 
     def hvp(v):
         return jax.jvp(g, (x0g,), (v,))[1]
 
-    eye = jnp.eye(n_theta, dtype=x0.dtype)
+    eye = jnp.eye(x0g.shape[0], dtype=x0.dtype)
     return jax.lax.map(hvp, eye)
 
 
 # Laplace-init spread guards (log-space hyperparameters): directions
-# with vanishing or negative curvature at the ML point (flat LML ridges,
-# prior-dominated warp dims) are capped at an overdispersed-but-finite
-# std; the floor keeps the historical 1e-2 ball as the lower bound so a
-# razor-sharp mode still gets a non-degenerate ensemble.
-_LAPLACE_STD_MAX = 2.0
+# with vanishing or negative curvature at the MAP point (flat LML
+# ridges) are capped at prior-scale width — the guess_priors round-flat
+# densities have O(1) log-space spread, so 1.0 is the honest
+# overdispersed-but-finite choice; the floor keeps the historical 1e-2
+# ball as the lower bound so a razor-sharp mode still gets a
+# non-degenerate ensemble.
+_LAPLACE_STD_MAX = 1.0
 _LAPLACE_STD_MIN = 1e-2
 
 
@@ -1639,9 +1667,12 @@ class BayesGPR:
 
     def _laplace_positions(self, theta, n_walkers, priors, n_warp):
         """(W, D) cold-start walker positions from the Laplace
-        approximation ``N(theta, H^-1)`` at the ML-II point, or ``None``
-        when the curvature is unusable (caller falls back to the
-        reference's 1e-2 ball, ``bask/bayesgpr.py:432-434`` semantics).
+        approximation ``N(theta_MAP, H^-1)`` — the ML-II theta is first
+        refined to the POSTERIOR mode by a bounded host L-BFGS on the
+        exact log-posterior value+grad, then curvature is taken there —
+        or ``None`` when the curvature is unusable (caller falls back
+        to the reference's 1e-2 ball, ``bask/bayesgpr.py:432-434``
+        semantics).
 
         Per-direction spreads (eigenbasis of the negative log-posterior
         Hessian over the kernel-theta block) are clamped to
@@ -1659,10 +1690,46 @@ class BayesGPR:
         n_theta = theta.shape[0] - 2 * n_warp
         dt = self._dtype()
         try:
+            # Refine to the POSTERIOR mode before taking curvature: the
+            # ML-II theta optimizes the bare LML and often rails
+            # against kernel bounds, where the round-flat priors plunge
+            # — the Hessian there describes the prior's penalty wall
+            # (eigenvalues ~1e11 measured), not the posterior mass, and
+            # walkers seeded from it mixed WORSE than the ball (R-hat
+            # 8.7 vs 1.1 at 1200 steps on the small ladder shape).
+            from scipy.optimize import minimize
+
+            def obj(tg):
+                x = np.concatenate([tg, theta[n_theta:]])
+                vg = np.asarray(
+                    _log_post_value_grad(
+                        self._data,
+                        jnp.asarray(x, dtype=dt),
+                        kernel=self._spec,
+                        priors=priors,
+                        n_warp=n_warp,
+                    ),
+                    dtype=float,
+                )
+                v, g = float(vg[0]), vg[1:]
+                if not np.isfinite(v):
+                    return 1e25, np.zeros_like(g)
+                return v, g
+
+            res = minimize(
+                obj,
+                theta[:n_theta],
+                jac=True,
+                method="L-BFGS-B",
+                options={"maxiter": 50},
+            )
+            center = theta.copy()
+            if np.isfinite(res.fun) and np.all(np.isfinite(res.x)):
+                center[:n_theta] = res.x
             H = np.asarray(
                 _log_post_hessian(
                     self._data,
-                    jnp.asarray(theta, dtype=dt),
+                    jnp.asarray(center, dtype=dt),
                     kernel=self._spec,
                     priors=priors,
                     n_warp=n_warp,
@@ -1687,12 +1754,12 @@ class BayesGPR:
         std = np.clip(std, _LAPLACE_STD_MIN, _LAPLACE_STD_MAX)
         z = self.random_state.randn(n_walkers, theta.shape[0])
         pos = np.empty((n_walkers, theta.shape[0]))
-        pos[:, :n_theta] = theta[None, :n_theta] + (
+        pos[:, :n_theta] = center[None, :n_theta] + (
             z[:, :n_theta] * std[None, :]
         ) @ V.T
         if n_warp:
             pos[:, n_theta:] = (
-                theta[None, n_theta:]
+                center[None, n_theta:]
                 + _LAPLACE_STD_MIN * z[:, n_theta:]
             )
         return pos
