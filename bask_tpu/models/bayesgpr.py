@@ -1689,6 +1689,24 @@ class BayesGPR:
         theta = np.asarray(theta, dtype=float)
         n_theta = theta.shape[0] - 2 * n_warp
         dt = self._dtype()
+
+        def grad_at(tg):
+            """Exact device gradient of the NEGATIVE log posterior over
+            the theta block (the same program the MAP refinement
+            drives)."""
+            x = np.concatenate([tg, theta[n_theta:]])
+            vg = np.asarray(
+                _log_post_value_grad(
+                    self._data,
+                    jnp.asarray(x, dtype=dt),
+                    kernel=self._spec,
+                    priors=priors,
+                    n_warp=n_warp,
+                ),
+                dtype=float,
+            )
+            return float(vg[0]), vg[1:]
+
         try:
             # Refine to the POSTERIOR mode before taking curvature: the
             # ML-II theta optimizes the bare LML and often rails
@@ -1700,18 +1718,7 @@ class BayesGPR:
             from scipy.optimize import minimize
 
             def obj(tg):
-                x = np.concatenate([tg, theta[n_theta:]])
-                vg = np.asarray(
-                    _log_post_value_grad(
-                        self._data,
-                        jnp.asarray(x, dtype=dt),
-                        kernel=self._spec,
-                        priors=priors,
-                        n_warp=n_warp,
-                    ),
-                    dtype=float,
-                )
-                v, g = float(vg[0]), vg[1:]
+                v, g = grad_at(tg)
                 if not np.isfinite(v):
                     return 1e25, np.zeros_like(g)
                 return v, g
@@ -1736,6 +1743,27 @@ class BayesGPR:
                 ),
                 dtype=float,
             )
+            if not np.all(np.isfinite(H)):
+                # The HVP (second-order AD through the TPU Cholesky)
+                # came back non-finite on v5e-1 even at HIGHEST matmul
+                # precision (measured 2026-08-20, r5b/r5c probes) while
+                # the FIRST-order gradient program is daily-validated
+                # there by ML-II — fall back to central differences of
+                # that exact gradient (2·Dg dispatches; eps=1e-2 in log
+                # space against the ~1e-3 relative f32 grad noise gives
+                # percent-level curvature, plenty for an init).
+                eps = 1e-2
+                Hfd = np.empty((n_theta, n_theta))
+                for i in range(n_theta):
+                    tp = center[:n_theta].copy()
+                    tm = center[:n_theta].copy()
+                    tp[i] += eps
+                    tm[i] -= eps
+                    _, gp_ = grad_at(tp)
+                    _, gm_ = grad_at(tm)
+                    # grad_at is the NEGATIVE log posterior's gradient
+                    Hfd[:, i] = -(gp_ - gm_) / (2.0 * eps)
+                H = Hfd
         except Exception as e:  # host-callback priors etc. — fall back
             warnings.warn(
                 f"chain_init='laplace' could not evaluate the "
