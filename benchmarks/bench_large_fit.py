@@ -52,10 +52,13 @@ def main():
     # sweeps cost ~1 s each, and the worker dies under multi-hundred-
     # second single programs (gotcha 9)
     if N >= 32768:
-        # one f32 gram strip set is ~4 GB at this n: W=4 chain, the
+        # one f32 gram strip set is ~4 GB at this n: W=2 chain, the
         # leanest (jvp, ~2-strip) ML-II gradients, minimal steps — the
-        # point is that the tier RUNS and what a sweep costs
-        W, steps = 4, 6
+        # point is that the tier RUNS and what a sweep costs. W=4 x 6
+        # steps (~24 sweeps ~ 95 s in ONE scan program) crashed the
+        # tunnel worker (gotcha 9, measured 2026-08-20); keep each
+        # dispatched chain program under ~20 s of sweeps
+        W, steps = 2, 3
     elif N >= 16384:
         W, steps = 8, 10
     else:
