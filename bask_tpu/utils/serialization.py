@@ -217,6 +217,8 @@ def _gpr_state(gp) -> dict:
         "chain_init": getattr(gp, "chain_init", "ball"),
         # huge-n ML-II warm-start subsample size (round 5)
         "ml2_subsample": getattr(gp, "ml2_subsample", None),
+        # warm-start objective: "lml" (reference parity) | "map"
+        "ml2_objective": getattr(gp, "ml2_objective", "lml"),
     }
     for name in ("chain_", "chain_steps_", "pos_", "warp_alphas_", "warp_betas_", "_theta"):
         v = getattr(gp, name)
@@ -247,6 +249,7 @@ def _restore_gpr(gp, meta, arrays):
         gp.moves = _canonical_moves(meta["moves"])
     gp.chain_init = meta.get("chain_init", "ball")
     gp.ml2_subsample = meta.get("ml2_subsample", None)
+    gp.ml2_objective = meta.get("ml2_objective", "lml")
     gp.noise_ = meta["noise_"]
     gp.log_marginal_likelihood_value_ = meta["lml_value"]
     if meta["kernel_fitted"] is not None:

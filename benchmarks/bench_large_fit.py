@@ -80,8 +80,12 @@ def main():
             # the FULL-n row value+grad holds ~3 gram strips (~12 GB) —
             # measured OOM on one 16 GB chip (r5 queue, 2026-08-20);
             # the warm start only seeds the chain, so optimize it on a
-            # dense 8k subset and keep the chain full + row-sharded
+            # dense 8k subset and keep the chain full + row-sharded.
+            # MAP objective: the bare-LML seed railed at the kernel
+            # bounds and the 6-sample chain's consensus then sat in a
+            # non-PD region (-inf LML at f32 n=32768, measured r5e)
             kw["ml2_subsample"] = 8192
+            kw["ml2_objective"] = "map"
     # n>=16384: the one-program device L-BFGS (60 iters x sweep+adjoint
     # in a single scan) crashed the tunnel worker (2026-08-19, r4b run;
     # the long-program class of CLAUDE.md gotcha 9). The host driver
