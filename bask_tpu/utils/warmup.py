@@ -59,6 +59,8 @@ def warmup_optimizer(
             moves=opt.gp.moves,
             # laplace cold init adds a Hessian program — precompile it
             chain_init=getattr(opt.gp, "chain_init", "ball"),
+            # the MAP warm start drives a different value+grad program
+            ml2_objective=getattr(opt.gp, "ml2_objective", "lml"),
         ),
         gp_priors=opt.gp_priors,
         acq_func=opt.acq_func,
