@@ -43,3 +43,51 @@ def pytest_runtest_setup(item):
 
         jax.clear_caches()
         gc.collect()
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow split: the full suite is ~51 min on this 8-virtual-device
+# CPU setup (round-5 measurement); the default per-commit target is the
+# fast tier (`pytest -m 'not slow'`, ~9 min — nox session `tests`),
+# with the full suite in nox `tests_all` / the CI slow job. Heavy tests
+# are listed by base nodeid in tests/slow_manifest.txt (parametrized
+# variants inherit) so test files stay unmarked and every file keeps
+# its sub-9s smoke coverage in the fast tier. Regenerate the manifest
+# per its header after big suite changes.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_MANIFEST = os.path.join(os.path.dirname(__file__), "slow_manifest.txt")
+
+
+def _slow_bases():
+    bases = set()
+    try:
+        with open(_MANIFEST) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    bases.add(line)
+    except OSError:
+        pass
+    return bases
+
+
+def pytest_collection_modifyitems(config, items):
+    bases = _slow_bases()
+    if not bases:
+        return
+    rootdir = str(config.rootdir)
+    for item in items:
+        nodeid = item.nodeid.split("[")[0]
+        if not nodeid.startswith("tests/"):
+            # invoked from a subdirectory: normalize to repo-relative
+            path = str(item.path)
+            if path.startswith(rootdir):
+                nodeid = (
+                    path[len(rootdir):].lstrip("/")
+                    + "::"
+                    + item.nodeid.split("::", 1)[-1].split("[")[0]
+                )
+        if nodeid in bases:
+            item.add_marker(pytest.mark.slow)

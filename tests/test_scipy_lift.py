@@ -265,6 +265,12 @@ def test_chain_bit_identical_to_jnp_formulation():
         gp = _gp()
         with warnings.catch_warnings():
             warnings.simplefilter("error")  # the lift must not warn
+            # ...but the round-5 convergence-honest default guard
+            # (warn_rhat=1.1) legitimately fires on this deliberately
+            # short 4-kept-step chain — unrelated to the lift
+            warnings.filterwarnings(
+                "ignore", message=".*may not be converged.*"
+            )
             gp.fit(
                 X,
                 y,
