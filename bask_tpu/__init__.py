@@ -60,7 +60,7 @@ def __getattr__(name):
         return BayesSearchCV
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "BayesGPR",
