@@ -1035,6 +1035,19 @@ class BayesGPR:
     NumPy/SciPy-style priors ported from reference code are routed
     through a host callback automatically (slower; requires a backend
     with host-callback support).
+
+    bask-tpu extension knobs (each measured, BASELINE.md round 4/5):
+    ``moves`` (ensemble move mixture; default ``"auto"`` = the fastest
+    honest sampler — demix at W>=6; ``"stretch"`` restores the
+    reference/emcee sampler bit-stably), ``chain_init`` (``"laplace"``
+    = MAP-refined curvature-scaled cold ensemble instead of the 1e-2
+    ball; overdispersed starts make the R-hat guard trustworthy),
+    ``ml2_objective`` (``"map"`` seeds the chain at the posterior mode
+    — the bare-LML optimum rails against kernel bounds on smooth
+    objectives), ``ml2_subsample`` (warm-start theta from a dense
+    m-point subset; the huge-n row-mode cure), ``row_mesh``/``row_nb``/
+    ``row_unroll``/``row_grad_method`` (row-sharded factorization for n
+    beyond one chip's HBM, see docs/production.md section 5).
     """
 
     # class-level default so instances restored from old pickles (which
