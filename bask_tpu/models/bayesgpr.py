@@ -2131,6 +2131,20 @@ class BayesGPR:
             m = 2 * int(self.row_mesh.shape[self.row_mesh.axis_names[0]])
             n_walkers = -(-n_walkers // m) * m
         n_steps = int(math.ceil(n_desired_samples / n_walkers)) + n_burnin
+        # The retained chain must be non-empty: an empty kept set would
+        # silently produce a nan geometric-median consensus (-inf LML,
+        # nan predictions) — measured as exactly that failure mode on
+        # the n=32768 hardware tier before this guard existed. The
+        # reference inherits the same hazard from emcee's
+        # get_chain(discard=...) slicing (bask/bayesgpr.py:528-534).
+        if len(range(n_burnin + n_thin - 1, n_steps, n_thin)) < 1:
+            raise ValueError(
+                f"Retained chain would be empty: n_desired_samples="
+                f"{n_desired_samples} with {n_walkers} walkers gives "
+                f"{n_steps - n_burnin} post-burnin step(s), and "
+                f"thin={n_thin} keeps none of them. Increase "
+                "n_desired_samples or reduce n_burnin/n_thin."
+            )
 
         if position is not None:
             pos = np.asarray(position, dtype=float)

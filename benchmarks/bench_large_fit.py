@@ -57,12 +57,14 @@ def main():
         # point is that the tier RUNS and what a sweep costs. W=4 x 6
         # steps (~24 sweeps ~ 95 s in ONE scan program) crashed the
         # tunnel worker (gotcha 9, measured 2026-08-20); keep each
-        # dispatched chain program under ~20 s of sweeps
-        W, steps = 2, 3
+        # dispatched chain program under ~20 s of sweeps. NB the first
+        # r5e/r5g runs used burn=4 > steps=3 — an EMPTY retained chain
+        # (nan consensus, -inf LML); burn=1 keeps 2 steps x 2 walkers
+        W, steps, burn = 2, 3, 1
     elif N >= 16384:
-        W, steps = 8, 10
+        W, steps, burn = 8, 10, 4
     else:
-        W, steps = (50 if mode == "dense" else 16), 20
+        W, steps, burn = (50 if mode == "dense" else 16), 20, 4
     kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.Matern(
         tuple([0.3] * D), (0.05, 2.0), nu=2.5
     ) + bk.WhiteKernel(0.05, (1e-5, 1e5))
@@ -99,7 +101,7 @@ def main():
 
     t0 = time.perf_counter()
     gp.fit(
-        X, y, n_burnin=4, n_desired_samples=(steps - 4) * W,
+        X, y, n_burnin=burn, n_desired_samples=(steps - burn) * W,
         n_walkers_per_thread=W, progress=False,
     )
     t_fit = time.perf_counter() - t0
@@ -117,7 +119,7 @@ def main():
     )
     t0 = time.perf_counter()
     gp2.fit(
-        X, y, n_burnin=4, n_desired_samples=(steps - 4) * W,
+        X, y, n_burnin=burn, n_desired_samples=(steps - burn) * W,
         n_walkers_per_thread=W, progress=False,
     )
     t_fit_warm = time.perf_counter() - t0

@@ -187,3 +187,37 @@ def test_exponentiation_kernel_end_to_end():
     assert np.all(np.abs(mu - y) < 3 * std + 0.3)
     draws = gp.sample_y(X[:5], n_samples=4, random_state=0)
     assert draws.shape == (5, 4) and np.isfinite(draws).all()
+
+
+def test_empty_retained_chain_raises():
+    """A sample() call whose burn-in/thin would retain zero steps must
+    raise instead of silently producing a nan geometric-median consensus
+    (-inf LML, nan predictions) — the exact failure the n=32768 hardware
+    tier hit before the guard existed. The reference inherits the hazard
+    from emcee's get_chain(discard=...) (bask/bayesgpr.py:528-534)."""
+    kernel = bk.ConstantKernel(1.0, (0.01**2, 1.0)) * bk.RBF(
+        1.0, (0.5, 1.5)
+    )
+    gp = BayesGPR(random_state=0, normalize_y=True, kernel=kernel)
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(16, 2))
+    y = X.sum(axis=1) + 0.1 * rng.randn(16)
+    # burn-in exceeds total steps (negative desired samples)
+    with pytest.raises(ValueError, match="Retained chain would be empty"):
+        gp.fit(
+            X, y, n_burnin=4, n_desired_samples=-2,
+            n_walkers_per_thread=2, progress=False,
+        )
+    # thinning eats every post-burnin step
+    with pytest.raises(ValueError, match="Retained chain would be empty"):
+        gp.fit(
+            X, y, n_burnin=2, n_desired_samples=2, n_thin=5,
+            n_walkers_per_thread=2, progress=False,
+        )
+    # the minimal valid shape still fits cleanly
+    gp.fit(
+        X, y, n_burnin=1, n_desired_samples=2,
+        n_walkers_per_thread=2, progress=False,
+    )
+    assert np.isfinite(gp.log_marginal_likelihood_value_)
+    assert gp.chain_steps_.shape[0] == 1
