@@ -540,7 +540,13 @@ def _canonical_moves(moves):
     String shorthands: a single move name ("stretch"/"de"/"snooker")
     means that move at weight 1, and "demix" is the measured
     DE 0.8 + snooker 0.2 mixture (BASELINE.md round-4 convergence
-    ladder: R-hat<1.1 at 4800 steps vs stretch >7200).
+    ladder: R-hat<1.1 at 4800 steps vs stretch >7200). Any move name
+    may carry tunable parameters as ``"name:key=val,..."``
+    (``"de:jump=0.2,gamma=0.6,sigma=1e-4"``, ``"snooker:gammas=1.3"``,
+    ``"stretch:a=1.5"``); on an alias shorthand the keys distribute
+    onto the member move that accepts them (``"demix:jump=0.2"`` tunes
+    the DE member). Each parameterization is a fixed reversible
+    kernel, so tuned mixtures remain valid random scans.
 
     ``"auto"`` — the library default — is kept as a sentinel and
     resolved per sample() call once the walker count is known: demix
@@ -555,7 +561,42 @@ def _canonical_moves(moves):
     if moves == "auto":
         return "auto"
     if isinstance(moves, str):
-        moves = _MOVE_ALIASES.get(moves, ((moves, 1.0),))
+        base, sep, rest = moves.partition(":")
+        alias = _MOVE_ALIASES.get(base)
+        if alias is not None and sep:
+            # parameterized alias, e.g. "demix:jump=0.2": distribute
+            # each key onto the alias member whose move accepts it
+            # (jump/gamma/sigma -> de, gammas -> snooker, a -> stretch)
+            from ..parallel.mcmc import _MOVE_PARAMS
+
+            items = [it.strip() for it in rest.split(",")]
+            keys = [it.partition("=")[0].strip() for it in items]
+            claimed = set()
+            out = []
+            for name, w in alias:
+                mbase = name.partition(":")[0]
+                mine = [
+                    it
+                    for it, k in zip(items, keys)
+                    if k in _MOVE_PARAMS[mbase]
+                ]
+                claimed.update(
+                    k for k in keys if k in _MOVE_PARAMS[mbase]
+                )
+                out.append(
+                    (name + (":" + ",".join(mine) if mine else ""), w)
+                )
+            unknown = [k for k in keys if k not in claimed]
+            if unknown:
+                raise ValueError(
+                    f"alias {base!r} members accept no parameter named "
+                    f"{unknown[0]!r}"
+                )
+            moves = tuple(out)
+        elif alias is not None:
+            moves = alias
+        else:
+            moves = ((moves, 1.0),)
     from ..parallel.mcmc import _normalize_moves
 
     canon = tuple((str(n), float(w)) for n, w in moves)
@@ -1039,7 +1080,9 @@ class BayesGPR:
     bask-tpu extension knobs (each measured, BASELINE.md round 4/5):
     ``moves`` (ensemble move mixture; default ``"auto"`` = the fastest
     honest sampler — demix at W>=6; ``"stretch"`` restores the
-    reference/emcee sampler bit-stably), ``chain_init`` (``"laplace"``
+    reference/emcee sampler bit-stably; tunable per-move parameters
+    ride the spec string, e.g. ``"demix:jump=0.2"`` or
+    ``"stretch:a=1.5"``), ``chain_init`` (``"laplace"``
     = MAP-refined curvature-scaled cold ensemble instead of the 1e-2
     ball; overdispersed starts make the R-hat guard trustworthy),
     ``ml2_objective`` (``"map"`` seeds the chain at the posterior mode

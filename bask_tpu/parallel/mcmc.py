@@ -23,6 +23,7 @@ rejected branchlessly (NaN-safe comparison).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -268,6 +269,15 @@ def snooker_step(
 # round-5 ladder). Cut per the wins-or-cut bar.
 _MOVE_NAMES = ("stretch", "de", "snooker")
 
+# per-move tunable parameters accepted in a "name:key=val,..." spec
+# (kept as strings so the whole moves tuple stays hashable — it is a
+# jit static argument). Ranges are validated eagerly in _parse_move.
+_MOVE_PARAMS = {
+    "stretch": ("a",),
+    "de": ("gamma", "sigma", "jump"),
+    "snooker": ("gammas",),
+}
+
 # each move draws its anchors from the COMPLEMENTARY half without
 # replacement: stretch needs 1, DE 2, snooker 3 distinct walkers there —
 # below these minima jax.random.randint gets an empty range
@@ -276,16 +286,53 @@ _MOVE_NAMES = ("stretch", "de", "snooker")
 _MIN_WALKERS = {"stretch": 2, "de": 4, "snooker": 6}
 
 
+def _parse_move(name):
+    """Parse a move spec string into ``(base, params)``.
+
+    ``"de"`` -> ("de", {}); ``"de:jump=0.2,gamma=0.6"`` ->
+    ("de", {"jump": 0.2, "gamma": 0.6}). Raises eagerly on unknown
+    bases, unknown/duplicate keys, or non-finite/non-positive values,
+    so a typo fails at construction rather than mid-chain."""
+    base, sep, rest = name.partition(":")
+    if base not in _MOVE_NAMES:
+        raise ValueError(
+            f"unknown move {base!r} (expected one of {_MOVE_NAMES})"
+        )
+    params = {}
+    if sep:
+        allowed = _MOVE_PARAMS[base]
+        for item in rest.split(","):
+            key, eq, val = item.partition("=")
+            key = key.strip()
+            if not eq or key not in allowed:
+                raise ValueError(
+                    f"move {base!r} takes parameters {allowed}; got "
+                    f"{item!r} (syntax: '{base}:{allowed[0]}=VALUE')"
+                )
+            if key in params:
+                raise ValueError(f"duplicate parameter {key!r} in {name!r}")
+            v = float(val)
+            if not math.isfinite(v) or v <= 0.0 or (key == "jump" and v > 1.0):
+                raise ValueError(
+                    f"move parameter {key}={val!r} out of range "
+                    f"(need a positive finite value"
+                    f"{', <= 1' if key == 'jump' else ''})"
+                )
+            params[key] = v
+    return base, params
+
+
 def validate_walker_count(n_walkers, moves):
     """Raise eagerly when ``n_walkers`` cannot support ``moves``.
 
     ``moves=None`` means pure stretch."""
     names = ("stretch",) if not moves else tuple(n for n, _ in moves)
     for name in names:
-        need = _MIN_WALKERS.get(name, 2)
+        base = name.partition(":")[0]
+        need = _MIN_WALKERS.get(base, 2)
         if n_walkers < need:
             raise ValueError(
-                f"move {name!r} needs at least {need} walkers (it draws "
+                f"move {base!r} needs at least {need} walkers (it draws "
                 f"{need // 2} distinct anchors from the complementary "
                 f"half); got n_walkers={n_walkers}"
             )
@@ -299,10 +346,7 @@ def _normalize_moves(moves):
         raise ValueError("moves must be a non-empty tuple of (name, weight)")
     names, weights = [], []
     for name, weight in moves:
-        if name not in _MOVE_NAMES:
-            raise ValueError(
-                f"unknown move {name!r} (expected one of {_MOVE_NAMES})"
-            )
+        _parse_move(name)  # validates base + any :key=val parameters
         if weight < 0:
             raise ValueError(f"move weight must be >= 0, got {weight}")
         names.append(name)
@@ -321,7 +365,12 @@ def make_step_fn(log_prob_fn: Callable, a: float = 2.0, moves=None):
     ``moves`` is a hashable tuple of ``(name, weight)`` with names in
     {"stretch", "de", "snooker"}: each step draws one move from the
     weights (a random-scan mixture of reversible kernels keeps the
-    posterior stationary) and dispatches via ``lax.switch``.
+    posterior stationary) and dispatches via ``lax.switch``. A name may
+    carry tunable parameters as ``"name:key=val,..."`` —
+    ``"de:jump=0.2,gamma=0.6,sigma=1e-4"``, ``"snooker:gammas=1.3"``,
+    ``"stretch:a=1.5"`` — kept in the string so the spec stays a
+    hashable jit static; each parameterization is a fixed reversible
+    kernel, so mixtures of them remain valid random scans.
     """
     if moves is None:
         def step(state, k):
@@ -332,11 +381,20 @@ def make_step_fn(log_prob_fn: Callable, a: float = 2.0, moves=None):
         return step
 
     def _move_fn(name):
-        if name == "stretch":
-            return lambda s, kk: stretch_step(log_prob_fn, s, kk, a=a)
-        if name == "de":
-            return lambda s, kk: de_step(log_prob_fn, s, kk)
-        return lambda s, kk: snooker_step(log_prob_fn, s, kk)
+        base, p = _parse_move(name)
+        if base == "stretch":
+            a_eff = p.get("a", a)
+            return lambda s, kk: stretch_step(log_prob_fn, s, kk, a=a_eff)
+        if base == "de":
+            return lambda s, kk: de_step(
+                log_prob_fn, s, kk,
+                gamma0=p.get("gamma"),
+                sigma=p.get("sigma", 1e-5),
+                jump_prob=p.get("jump", 0.1),
+            )
+        return lambda s, kk: snooker_step(
+            log_prob_fn, s, kk, gamma_s=p.get("gammas", 1.7)
+        )
 
     names, weights = _normalize_moves(moves)
     norm_moves = tuple(zip(names, weights))

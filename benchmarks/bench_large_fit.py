@@ -83,9 +83,10 @@ def main():
             # measured OOM on one 16 GB chip (r5 queue, 2026-08-20);
             # the warm start only seeds the chain, so optimize it on a
             # dense 8k subset and keep the chain full + row-sharded.
-            # MAP objective: the bare-LML seed railed at the kernel
-            # bounds and the 6-sample chain's consensus then sat in a
-            # non-PD region (-inf LML at f32 n=32768, measured r5e)
+            # MAP objective: the bare-LML seed rails at the kernel
+            # bounds (lp -2.7e9); MAP refines to the posterior mode.
+            # (The r5e/r5g -inf LML was NOT the seed — it was an empty
+            # retained chain from burn=4 > steps=3, fixed above.)
             kw["ml2_subsample"] = 8192
             kw["ml2_objective"] = "map"
     # n>=16384: the one-program device L-BFGS (60 iters x sweep+adjoint

@@ -40,6 +40,18 @@ SPECS = {
     # round-5 DREAM-crossover candidates (decr/dream/dream9/dreammix)
     # were measured here on 2026-08-20 and REJECTED — the de_cr move is
     # deleted; ladder numbers preserved in BASELINE.md round-5 section
+    #
+    # round-5 parameterized-demix tuning ladder (r5i queue): the demix
+    # control numbers are the r5 ladder's (identical seeds/starts) —
+    # 1.380@1200 / 1.187@2400 / 1.127@3600 / 1.095@4800. Hypotheses on
+    # the measured-bimodal posterior: more gamma=1 mode jumps
+    # (jump 0.1->0.25), a bigger in-mode DE step (gamma 0.408->0.55),
+    # more snooker weight (outlier recovery), and jumps+snooker
+    # combined.
+    "demixj25": (("de:jump=0.25", 0.8), ("snooker", 0.2)),
+    "demixg55": (("de:gamma=0.55", 0.8), ("snooker", 0.2)),
+    "demixs35": (("de", 0.65), ("snooker", 0.35)),
+    "demixj25s35": (("de:jump=0.25", 0.65), ("snooker", 0.35)),
 }
 
 

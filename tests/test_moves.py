@@ -221,6 +221,105 @@ def test_moves_string_aliases():
         BayesGPR(kernel=kernel, moves="bogus")
 
 
+def test_parse_move_parameterized_specs():
+    """"name:key=val,..." specs: parsing, validation, eager failure on
+    typos (the spec stays a hashable string — it is a jit static)."""
+    assert mcmc._parse_move("de") == ("de", {})
+    assert mcmc._parse_move("de:jump=0.2,gamma=0.6") == (
+        "de", {"jump": 0.2, "gamma": 0.6}
+    )
+    assert mcmc._parse_move("snooker:gammas=1.3") == (
+        "snooker", {"gammas": 1.3}
+    )
+    assert mcmc._parse_move("stretch:a=1.5") == ("stretch", {"a": 1.5})
+    with pytest.raises(ValueError, match="unknown move"):
+        mcmc._parse_move("walk:s=1.0")
+    with pytest.raises(ValueError, match="takes parameters"):
+        mcmc._parse_move("de:a=1.5")  # 'a' belongs to stretch
+    with pytest.raises(ValueError, match="takes parameters"):
+        mcmc._parse_move("de:jump")  # missing =value
+    with pytest.raises(ValueError, match="duplicate"):
+        mcmc._parse_move("de:jump=0.1,jump=0.2")
+    with pytest.raises(ValueError, match="out of range"):
+        mcmc._parse_move("de:jump=1.5")  # jump is a probability
+    with pytest.raises(ValueError, match="out of range"):
+        mcmc._parse_move("stretch:a=-2.0")
+    with pytest.raises(ValueError, match="out of range"):
+        mcmc._parse_move("de:gamma=inf")
+    # _normalize_moves accepts parameterized names and keeps them intact
+    names, weights = mcmc._normalize_moves(
+        (("de:jump=0.2", 0.8), ("snooker:gammas=1.3", 0.2))
+    )
+    assert names == ("de:jump=0.2", "snooker:gammas=1.3")
+    # walker-count minima apply to the BASE move
+    pos2 = jax.random.normal(jax.random.PRNGKey(0), (2, 2))
+    lp, _ = _corr_gauss_lp()
+    with pytest.raises(ValueError, match="at least 4 walkers"):
+        mcmc.run_ensemble(
+            lp, pos2, jax.random.PRNGKey(1), 5, moves=(("de:jump=0.2", 1.0),)
+        )
+
+
+def test_parameterized_moves_change_the_chain_and_stay_correct():
+    """A tuned parameter produces a DIFFERENT chain than the default
+    (the knob is live), and a tuned mixture still recovers the target
+    distribution (each parameterization is a fixed reversible kernel)."""
+    lp, cov = _corr_gauss_lp()
+    pos0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    c_def, _ = mcmc.run_ensemble(
+        lp, pos0, jax.random.PRNGKey(0), 60, moves=(("de", 1.0),)
+    )
+    c_tuned, _ = mcmc.run_ensemble(
+        lp, pos0, jax.random.PRNGKey(0), 60,
+        moves=(("de:gamma=0.4,jump=0.3", 1.0),),
+    )
+    assert not np.array_equal(np.asarray(c_def), np.asarray(c_tuned))
+    # stretch:a knob is live too
+    c_s, _ = mcmc.run_ensemble(lp, pos0, jax.random.PRNGKey(0), 60)
+    c_sa, _ = mcmc.run_ensemble(
+        lp, pos0, jax.random.PRNGKey(0), 60, moves=(("stretch:a=3.0", 1.0),)
+    )
+    assert not np.array_equal(np.asarray(c_s), np.asarray(c_sa))
+    # distributional correctness of a tuned mixture
+    chain, final = mcmc.run_ensemble(
+        lp, pos0, jax.random.PRNGKey(0), 4000,
+        moves=(("de:jump=0.2", 0.8), ("snooker:gammas=1.5", 0.2)),
+    )
+    flat = np.asarray(mcmc.flatten_chain(chain, discard=1500))
+    np.testing.assert_allclose(flat.mean(axis=0), np.zeros(2), atol=0.2)
+    np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.35)
+    rate = float(final.accepted) / (4000 * 64)
+    assert 0.05 < rate < 0.95
+
+
+def test_parameterized_alias_distribution():
+    """"demix:jump=0.2"-style specs distribute each key onto the alias
+    member whose move accepts it."""
+    from bask_tpu.models.bayesgpr import BayesGPR, _canonical_moves
+    from bask_tpu.ops import kernels as bk
+
+    assert _canonical_moves("demix:jump=0.2") == (
+        ("de:jump=0.2", 0.8), ("snooker", 0.2)
+    )
+    assert _canonical_moves("demix:gammas=1.3") == (
+        ("de", 0.8), ("snooker:gammas=1.3", 0.2)
+    )
+    assert _canonical_moves("demix:jump=0.2,gammas=1.3") == (
+        ("de:jump=0.2", 0.8), ("snooker:gammas=1.3", 0.2)
+    )
+    assert _canonical_moves("tri:a=1.5,jump=0.2") == (
+        ("stretch:a=1.5", 0.5), ("de:jump=0.2", 0.4), ("snooker", 0.1)
+    )
+    with pytest.raises(ValueError, match="no parameter named"):
+        _canonical_moves("demix:a=1.5")  # no stretch member in demix
+    # estimator plumbing: the canonicalized tuple is the stored static
+    kernel = bk.ConstantKernel(1.0, (0.1, 2.0)) * bk.RBF(
+        (0.3,), (0.05, 2.0)
+    )
+    gp = BayesGPR(kernel=kernel, moves="demix:jump=0.2")
+    assert gp.moves == (("de:jump=0.2", 0.8), ("snooker", 0.2))
+
+
 def test_mes_bare_call_uses_fresh_keys():
     """Two bare MaxValueSearch calls must differ (VERDICT r3 weak #6):
     the reference draws fresh Gumbel samples from the global NumPy RNG
