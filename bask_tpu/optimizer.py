@@ -145,12 +145,22 @@ class Optimizer:
         # surface from the top `acq_polish_starts` grid points using the
         # GP's analytic prediction gradients (acquisition
         # .polish_acquisition). The reference stops at the 500-point
-        # random grid (bask/optimizer.py:353-376). Skipped silently for
+        # random grid (bask/optimizer.py:353-376). Skipped for
         # acquisitions with no coherent pointwise surface (MES/TS),
-        # categorical spaces, and custom acquisition classes.
+        # categorical spaces, and custom acquisition classes — with a
+        # one-time warning so "I turned it on" is never silently off.
         self.acq_polish = int(acq_polish)
         self.acq_polish_starts = int(acq_polish_starts)
         self.acq_polish_lr = float(acq_polish_lr)
+        self._polish_noop_warned = False
+        if self.acq_polish > 0 and self.space.is_partly_categorical:
+            warnings.warn(
+                "acq_polish is ignored on (partly) categorical spaces: "
+                "the acquisition surface is not differentiable across "
+                "category one-hots; the grid argmax is used.",
+                UserWarning,
+            )
+            self._polish_noop_warned = True
 
         self.Xi = []
         self.yi = []
@@ -496,6 +506,15 @@ class Optimizer:
                 if polished is not None:
                     xb, vb = polished
                     best_x_t = xb[int(np.argmax(vb))]
+                elif not self._polish_noop_warned:
+                    self._polish_noop_warned = True
+                    warnings.warn(
+                        f"acq_polish has no differentiable surface for "
+                        f"{type(self.acq_func).__name__} (MES/TS and "
+                        "custom acquisitions are grid-only); the grid "
+                        "argmax is used.",
+                        UserWarning,
+                    )
             self._next_x = self.space.inverse_transform(
                 best_x_t[None, :]
             )[0]

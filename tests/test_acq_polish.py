@@ -153,3 +153,36 @@ def test_optimizer_polish_flag_end_to_end():
             x = opt2.ask()
             opt2.tell(x, f([x[0]]), gp_samples=20, gp_burnin=2)
     assert opt2._next_x is not None
+
+
+def test_polish_noop_warns_once():
+    """acq_polish that can never run must SAY so (one-time warning):
+    categorical spaces warn at construction, surface-less acquisitions
+    (MES/TS) at the first tell."""
+    import bask_tpu as bt
+
+    with pytest.warns(UserWarning, match="categorical"):
+        bt.Optimizer(
+            dimensions=[(-1.0, 1.0), ("a", "b")], random_state=0,
+            acq_polish=5,
+        )
+
+    def f(x):
+        return float((x[0] - 0.3) ** 2)
+
+    opt = bt.Optimizer(
+        dimensions=[(-1.0, 1.0)], n_initial_points=1, random_state=3,
+        n_points=16, acq_polish=5, acq_func="ts",
+        gp_sample_kwargs={"until_rhat": None},
+    )
+    x = opt.ask()
+    with pytest.warns(UserWarning, match="no differentiable surface"):
+        opt.tell(x, f(x), gp_samples=20, gp_burnin=2)
+    # one-time: the second tell stays quiet
+    x = opt.ask()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        try:
+            opt.tell(x, f(x), gp_samples=20, gp_burnin=2)
+        except UserWarning as w:  # pragma: no cover
+            assert "surface" not in str(w), w
