@@ -760,6 +760,42 @@ def _polish_marginal_vals(
     return _adam_ascent(value, X0, n_steps, lr)
 
 
+def polish_noop_reason(acq, n_samples: int = 10, **kwargs):
+    """Why :func:`polish_acquisition` would return ``None`` for this
+    configuration, as a human-readable string — or ``None`` when polish
+    is supported. Shared with the Optimizer's one-time no-op warning so
+    the stated cause is always the real gate that fired."""
+    if isinstance(acq, FullGPAcquisition):
+        if type(acq) in (PVRS, VarianceReduction):
+            return None
+        return (
+            f"custom FullGPAcquisition {type(acq).__name__} has no "
+            "known differentiable surface (only PVRS/VarianceReduction "
+            "are polished)"
+        )
+    if not isinstance(acq, UncertaintyAcquisition):
+        return (
+            f"{type(acq).__name__} is not an Uncertainty/FullGP "
+            "acquisition; no pointwise surface to ascend"
+        )
+    if isinstance(acq, MaxValueSearch):
+        return (
+            "MES couples values to grid-wide min-value samples; no "
+            "pointwise surface to ascend"
+        )
+    if n_samples <= 0:
+        return (
+            "n_samples=0 hyperposterior draws requested (pass "
+            "n_samples>0 to tell/run so the marginalized surface "
+            "exists)"
+        )
+    try:
+        hash(tuple(sorted(kwargs.items())))
+    except TypeError:
+        return "unhashable acq_func_kwargs cannot key the jitted program"
+    return None
+
+
 def polish_acquisition(
     X0,
     gpr,
@@ -781,6 +817,8 @@ def polish_acquisition(
     grid argmax. Improves on the reference's 500-point random-grid-only
     optimization (``bask/optimizer.py:353-376``).
     """
+    if polish_noop_reason(acq, n_samples=n_samples, **kwargs) is not None:
+        return None
     X0 = np.atleast_2d(np.asarray(X0, dtype=float))
     if isinstance(random_state, np.random.RandomState):
         rs = random_state
@@ -793,10 +831,8 @@ def polish_acquisition(
         if type(acq) is PVRS:
             n_thompson = kwargs.get("n_thompson", 10)
             with_thompson = True
-        elif type(acq) is VarianceReduction:
-            n_thompson, with_thompson = 0, False
         else:
-            return None
+            n_thompson, with_thompson = 0, False
         has_warp = bool(gpr.warp_inputs)
         if has_warp:
             la = jnp.asarray(gpr.warp_alphas_, dtype=dt)
@@ -831,18 +867,9 @@ def polish_acquisition(
         )
         return np.asarray(xb), np.asarray(vb)
 
-    if not isinstance(acq, UncertaintyAcquisition):
-        return None
-    if isinstance(acq, MaxValueSearch):
-        return None  # grid-coupled min-value samples: no pointwise surface
-    if n_samples <= 0:
-        return None
-    try:
-        kwargs_tuple = tuple(sorted(kwargs.items()))
-        hash(kwargs_tuple)
-    except TypeError:
-        return None
-
+    # UncertaintyAcquisition path (the gates ran in polish_noop_reason,
+    # so kwargs are hashable here)
+    kwargs_tuple = tuple(sorted(kwargs.items()))
     idx = rs.choice(len(gpr.chain_), replace=False, size=n_samples)
     rows = jnp.asarray(gpr.chain_[idx], dtype=dt)
     n_warp = gpr._X_orig.shape[1] if gpr.warp_inputs else 0

@@ -1167,7 +1167,8 @@ class BayesGPR:
         # first ~1000 steps EXPANDING to posterior scale — the measured
         # transient of the convergence ladders); "laplace" = draw from
         # N(theta_ML, H^-1) with per-direction spread clamped to
-        # [1e-2, 2.0], so DE difference vectors are posterior-sized from
+        # [_LAPLACE_STD_MIN, _LAPLACE_STD_MAX] = [1e-2, 1.0], so DE
+        # difference vectors are posterior-sized from
         # step 0. Falls back to the ball when the curvature is unusable
         # (non-finite Hessian) or in row-sharded mode.
         if chain_init not in ("ball", "laplace"):
@@ -2051,10 +2052,18 @@ class BayesGPR:
 
             if extension_steps is not None:
                 # translate "steps per leg" into the sample-count
-                # convention: n_steps = ceil(samples / n_walkers)
-                n_w_cfg = max(2, n_threads * n_walkers_per_thread)
-                if n_w_cfg % 2:
-                    n_w_cfg += 1
+                # convention: n_steps = ceil(samples / n_walkers).
+                # Use the ACTUAL ensemble's walker count (the base run
+                # has already applied any mesh / two-axis row_mesh
+                # rounding, e.g. 100 -> 112 on an 8-device mesh);
+                # deriving it from the raw config would under-deliver
+                # each leg AND compile a second leg program shape.
+                if self.pos_ is not None:
+                    n_w_cfg = int(self.pos_.shape[0])
+                else:  # pragma: no cover — base run always sets pos_
+                    n_w_cfg = max(2, n_threads * n_walkers_per_thread)
+                    if n_w_cfg % 2:
+                        n_w_cfg += 1
                 leg_samples = int(extension_steps) * n_w_cfg
             else:
                 leg_samples = n_desired_samples
@@ -2173,6 +2182,14 @@ class BayesGPR:
             # shard evenly over the row mesh's walker axis
             m = 2 * int(self.row_mesh.shape[self.row_mesh.axis_names[0]])
             n_walkers = -(-n_walkers // m) * m
+        if position is not None:
+            # an explicit ensemble fixes the walker count: n_steps (and
+            # the retention guard) must be computed from the chain that
+            # actually runs, not the configured-then-rounded count —
+            # e.g. an until_rhat extension leg continuing a 112-walker
+            # mesh ensemble would otherwise run ceil(112·S/100) steps
+            # and compile a second leg-program shape
+            n_walkers = int(np.asarray(position).shape[0])
         n_steps = int(math.ceil(n_desired_samples / n_walkers)) + n_burnin
         # The retained chain must be non-empty: an empty kept set would
         # silently produce a nan geometric-median consensus (-inf LML,

@@ -508,10 +508,12 @@ class Optimizer:
                     best_x_t = xb[int(np.argmax(vb))]
                 elif not self._polish_noop_warned:
                     self._polish_noop_warned = True
+                    reason = acq_mod.polish_noop_reason(
+                        self.acq_func, n_samples=n_samples,
+                        **self.acq_func_kwargs,
+                    ) or "unsupported configuration"
                     warnings.warn(
-                        f"acq_polish has no differentiable surface for "
-                        f"{type(self.acq_func).__name__} (MES/TS and "
-                        "custom acquisitions are grid-only); the grid "
+                        f"acq_polish is inactive: {reason}; the grid "
                         "argmax is used.",
                         UserWarning,
                     )

@@ -312,11 +312,18 @@ def _parse_move(name):
             if key in params:
                 raise ValueError(f"duplicate parameter {key!r} in {name!r}")
             v = float(val)
-            if not math.isfinite(v) or v <= 0.0 or (key == "jump" and v > 1.0):
+            if key == "jump":
+                # a probability: 0 (no mode-jumps, a standard DE
+                # variant) through 1 (every step a full-difference jump)
+                bad = not math.isfinite(v) or v < 0.0 or v > 1.0
+                need = "a value in [0, 1]"
+            else:
+                bad = not math.isfinite(v) or v <= 0.0
+                need = "a positive finite value"
+            if bad:
                 raise ValueError(
                     f"move parameter {key}={val!r} out of range "
-                    f"(need a positive finite value"
-                    f"{', <= 1' if key == 'jump' else ''})"
+                    f"(need {need})"
                 )
             params[key] = v
     return base, params

@@ -241,12 +241,20 @@ def _gpr_state(gp) -> dict:
 
 
 def _restore_gpr(gp, meta, arrays):
-    if meta.get("moves") is not None:
-        from ..models.bayesgpr import _canonical_moves
+    from ..models.bayesgpr import _canonical_moves
 
+    if "moves" in meta:
         # json round-trips the tuples as lists; re-canonicalize so the
-        # restored value stays a hashable jit static
+        # restored value stays a hashable jit static. Assign even when
+        # the stored value is None: moves=None is the EXPLICIT
+        # pure-stretch sampler, and leaving the constructor's "auto"
+        # default in place would silently switch a resumed optimizer
+        # to the demix mixture (non-reproducible chains).
         gp.moves = _canonical_moves(meta["moves"])
+    else:
+        # pre-moves checkpoint (0.4-era): those chains sampled pure
+        # stretch — preserve that on resume rather than "auto"
+        gp.moves = None
     gp.chain_init = meta.get("chain_init", "ball")
     gp.ml2_subsample = meta.get("ml2_subsample", None)
     gp.ml2_objective = meta.get("ml2_objective", "lml")
@@ -388,6 +396,9 @@ def save_optimizer(opt, path: str, pickle_unsupported: bool = False) -> None:
         "gp_sample_kwargs": _jsonable_or_warn(
             getattr(opt, "gp_sample_kwargs", {}), "gp_sample_kwargs"
         ),
+        "acq_polish": getattr(opt, "acq_polish", 0),
+        "acq_polish_starts": getattr(opt, "acq_polish_starts", 4),
+        "acq_polish_lr": getattr(opt, "acq_polish_lr", 0.05),
         "Xi": opt.Xi,
         "yi": opt.yi,
         "noisei": opt.noisei,
@@ -466,6 +477,9 @@ def load_optimizer(path: str, allow_pickle: bool = False):
         acq_func=acq_func,
         acq_func_kwargs=meta["acq_func_kwargs"],
         gp_sample_kwargs=meta.get("gp_sample_kwargs") or {},
+        acq_polish=meta.get("acq_polish", 0),
+        acq_polish_starts=meta.get("acq_polish_starts", 4),
+        acq_polish_lr=meta.get("acq_polish_lr", 0.05),
         gp_kwargs=dict(
             alpha=meta["gpr"]["alpha"],
             normalize_y=meta["gpr"]["normalize_y"],

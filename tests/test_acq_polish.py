@@ -176,7 +176,7 @@ def test_polish_noop_warns_once():
         gp_sample_kwargs={"until_rhat": None},
     )
     x = opt.ask()
-    with pytest.warns(UserWarning, match="no differentiable surface"):
+    with pytest.warns(UserWarning, match="acq_polish is inactive"):
         opt.tell(x, f(x), gp_samples=20, gp_burnin=2)
     # one-time: the second tell stays quiet
     x = opt.ask()

@@ -242,6 +242,8 @@ def test_parse_move_parameterized_specs():
         mcmc._parse_move("de:jump=0.1,jump=0.2")
     with pytest.raises(ValueError, match="out of range"):
         mcmc._parse_move("de:jump=1.5")  # jump is a probability
+    # jump=0 (no mode-jumps) is a valid DE variant
+    assert mcmc._parse_move("de:jump=0") == ("de", {"jump": 0.0})
     with pytest.raises(ValueError, match="out of range"):
         mcmc._parse_move("stretch:a=-2.0")
     with pytest.raises(ValueError, match="out of range"):

@@ -58,3 +58,35 @@ def test_optimizer_roundtrip(tmp_path):
     # resumed optimizer can continue the loop (warm start from pos_)
     opt2.tell(opt2.ask(), 0.1, gp_burnin=0, n_samples=1)
     assert len(opt2.Xi) == len(opt.Xi) + 1
+
+
+def test_moves_none_roundtrips_as_none(tmp_path):
+    """moves=None (explicit pure stretch) must NOT silently become the
+    "auto" (demix) default on restore — a resumed optimizer would
+    switch samplers mid-run (round-5 review finding)."""
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(10, 1))
+    y = np.sin(4 * X[:, 0])
+    for moves_in in (None, "auto", "demix", "demix:jump=0.25"):
+        gp = BayesGPR(random_state=0, moves=moves_in)
+        gp.fit(X, y, n_burnin=2, progress=False)
+        path = str(tmp_path / "gp_moves.npz")
+        ser.save_gpr(gp, path)
+        gp2 = ser.load_gpr(path)
+        assert gp2.moves == gp.moves, (moves_in, gp2.moves)
+
+
+def test_acq_polish_roundtrips(tmp_path):
+    """The opt-in polish settings survive a checkpoint resume."""
+    opt = Optimizer(
+        dimensions=[(-2.0, 2.0)], n_initial_points=2,
+        init_strategy="random", random_state=3,
+        acq_polish=7, acq_polish_starts=5, acq_polish_lr=0.01,
+    )
+    opt.run(lambda x: float(x[0] ** 2), n_iter=3, gp_burnin=0, n_samples=1)
+    path = str(tmp_path / "opt_polish.npz")
+    ser.save_optimizer(opt, path)
+    opt2 = ser.load_optimizer(path)
+    assert opt2.acq_polish == 7
+    assert opt2.acq_polish_starts == 5
+    assert opt2.acq_polish_lr == 0.01

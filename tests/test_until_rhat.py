@@ -275,3 +275,26 @@ def test_until_rhat_with_moves_and_warm_continuation():
                 n_walkers_per_thread=10, progress=False,
                 until_rhat=0.5, max_extensions=1, moves="stretch")
     assert not np.array_equal(gp.chain_steps_, gp2.chain_steps_)
+
+
+def test_explicit_position_sets_step_count():
+    """n_steps must follow the ACTUAL ensemble when position= overrides
+    the configured walker count (an until_rhat extension leg continuing
+    a mesh-rounded 112-walker ensemble would otherwise under-run its
+    step budget and compile a second program shape; round-5 review)."""
+    import numpy as np
+
+    from bask_tpu.models.bayesgpr import BayesGPR
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(size=(12, 1))
+    y = np.sin(4 * X[:, 0])
+    gp = BayesGPR(random_state=0)
+    gp.fit(X, y, n_burnin=2, n_desired_samples=40,
+           n_walkers_per_thread=20, progress=False)
+    d = gp.chain_steps_.shape[-1]
+    pos64 = np.repeat(gp.pos_, 4, axis=0)[:64]  # 64-walker ensemble
+    gp.sample(n_desired_samples=320, n_burnin=0,
+              n_walkers_per_thread=20, position=pos64, progress=False)
+    # ceil(320 / 64-actual) = 5 steps, NOT ceil(320 / 20-config) = 16
+    assert gp.chain_steps_.shape == (5, 64, d)
