@@ -282,4 +282,8 @@ def test_fused_sample_custom_position_walker_count(fused_switch):
     assert np.array_equal(g1.chain_, g2.chain_)
     assert np.array_equal(g1.pos_, g2.pos_)
     assert np.array_equal(g1.theta, g2.theta)
-    assert g1.n_proposals_ == g2.n_proposals_ == 3 * 20  # steps * actual W
+    # n_steps follows the ACTUAL 20-walker ensemble (round-5 review
+    # fix): ceil(20 samples / 20 walkers) + 1 burn-in = 2 steps — the
+    # configured count (10) would have over-run to 3
+    assert g1.n_proposals_ == g2.n_proposals_ == 2 * 20
+    assert g1.chain_.shape == (20, 3)  # exactly n_desired_samples kept
