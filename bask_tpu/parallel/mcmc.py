@@ -378,6 +378,16 @@ def make_step_fn(log_prob_fn: Callable, a: float = 2.0, moves=None):
     ``"stretch:a=1.5"`` — kept in the string so the spec stays a
     hashable jit static; each parameterization is a fixed reversible
     kernel, so mixtures of them remain valid random scans.
+
+    Tuning note (measured, BASELINE.md round 5): on the 17-dim
+    benchmark hyperposterior, raising DE's full-jump probability
+    (``jump``) from the emcee default 0.1 to 0.25 COLLAPSED mixing
+    (acceptance 0.24 -> 0.15, R-hat pinned at 2.3@4800 steps vs 1.095
+    for the default) — gamma=1 mode-hop proposals are rare-event
+    moves, and spending a quarter of the proposals on them starves the
+    in-mode gamma=2.38/sqrt(2D) diffusion. Treat ``jump`` > ~0.1 as a
+    last resort for severely multimodal targets, and check
+    ``mcmc_diagnostics()`` after any retune.
     """
     if moves is None:
         def step(state, k):
